@@ -1,0 +1,75 @@
+"""Parity tests for the Rec-CUSUM/recresid kernels against the reference's
+R-derived golden outputs (strucchange/bfast), mirroring
+/root/reference/tests/unit_tests/test_utils_efp.py with the same golden
+constants and tolerance ladder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nrt_spark.kernels import efp
+
+
+def test_history_roc_golden(romania):
+    # Golden indices from R bFast (1-indexed): [1, 8, 49, 62, 1]
+    X, y, _ = romania
+    expected = np.array([1, 8, 49, 62, 1], dtype="float32") - 1
+    got = np.zeros(y.shape[1])
+    for k in range(y.shape[1]):
+        keep = ~np.isnan(y[:, k])
+        got[k] = efp.history_roc(X[keep], y[keep, k])
+    np.testing.assert_allclose(got, expected)
+
+
+def test_efp_process_golden(romania, ref_data_dir):
+    X, y, _ = romania
+    golden = np.genfromtxt(ref_data_dir / "efp_result.csv", delimiter=",",
+                           dtype=np.float64, missing_values="NA")
+    keep = ~np.isnan(y[:, 0])
+    process = efp.cusum_rec_efp(X[keep][::-1], y[keep, 0][::-1])
+    k = X.shape[1] + 2
+    np.testing.assert_allclose(process[k:], golden[k:], rtol=1e-2)
+
+
+@pytest.mark.parametrize("alpha,expected", [(0.01, 3.368214),
+                                            (0.05, 2.795483),
+                                            (0.1, 2.500278)])
+def test_cusum_ols_crit(alpha, expected):
+    assert efp.cusum_ols_test_crit(alpha) == pytest.approx(expected)
+
+
+def test_cusum_rec_crit():
+    assert efp.cusum_rec_test_crit(0.05) == pytest.approx(
+        efp.REC_CUSUM_CRIT_005, rel=1e-9)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"alpha": 0.05, "h": 0.24},
+    {"alpha": 0.06},
+    {"alpha": 0.05, "period": 11},
+])
+def test_mosum_crit_validation(kwargs):
+    with pytest.raises(ValueError):
+        efp.mosum_ols_test_crit(**kwargs)
+
+
+def test_mosum_crit_default():
+    # Derived from the reference golden boundary 1.89762642047451 = crit*sqrt(2)
+    assert efp.mosum_ols_test_crit(0.05, h=0.25, period=10) == pytest.approx(
+        1.89762642047451 / np.sqrt(2))
+
+
+def test_recresid_golden(romania, ref_data_dir):
+    """Recursive residuals vs strucchange::recresid (per series, NaN rows
+    dropped; golden has NaN in the first span positions)."""
+    X, y, _ = romania
+    golden = np.genfromtxt(ref_data_dir / "rr_result.csv", delimiter=",",
+                           dtype=np.float64, missing_values="NA")
+    span = X.shape[1] + 1
+    for k in range(y.shape[1]):
+        keep = ~np.isnan(y[:, k])
+        rr = efp.recresid(X[keep], y[keep, k], span)
+        g = golden[keep, k]
+        # strucchange starts reporting at index span (0-based span offset)
+        np.testing.assert_allclose(rr[span:], g[span:], rtol=5e-3, atol=1e-8)
