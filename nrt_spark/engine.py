@@ -1,0 +1,165 @@
+"""The distributed fit/monitor engine.
+
+Spark-first re-expression of the reference's fit -> monitor -> report
+lifecycle (nrt/monitor/__init__.py):
+
+- ``fit``: one shuffle on the bucket key, then one grouped-map pandas UDF
+  per bucket; inside the UDF the bucket's series form the same (M, K)
+  matrix the reference vectorizes over (``__init__.py:192``), so the
+  numpy kernels are shared verbatim with the single-process oracle.
+- ``monitor``: a *cogrouped* pandas UDF (state bucket x observation
+  bucket) — one shuffle per side, no separate join stage — folding new
+  acquisitions through the sequential process update in timestamp order.
+- ``report``: plain projection of the state table.
+
+Scale design: ``doc_id`` is hash-bucketed (``pmod(xxhash64(doc_id), B)``),
+which (a) bounds the pandas group size to ~n_docs/B series regardless of
+source skew, (b) is a deterministic function of the key so state and
+observations co-bucket by construction, and (c) maps 1:1 onto Iceberg
+``bucket(doc_id)`` storage partitioning on a real cluster (making the
+state<->obs alignment a storage-partitioned join with zero shuffle).
+Incremental monitoring is idempotent: state rows carry ``last_day`` and
+observations at or before it are masked out exactly like NaN gaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nrt_spark.kernels.monitors import fit_state, resolve_params, run_monitor
+from nrt_spark.state import STATE_SCHEMA, STATE_COLUMNS, pdf_to_state, state_to_pdf
+from nrt_spark.tokens import grid_days, tokens_to_matrix
+
+
+def _day_number(date_str: str | None) -> int | None:
+    if date_str is None:
+        return None
+    return int(np.datetime64(date_str, "D").astype(int))
+
+
+def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"))
+
+
+class NrtEngine:
+    """Distributed monitor over a pre-tokenized sequence table.
+
+    Args:
+        spark: session.
+        monitor: one of ewma/cusum/mosum/ccdc/iqr.
+        num_buckets: series are hash-bucketed into this many groups; each
+            grouped UDF call processes one bucket as an (M, K) matrix.
+            Size so that a bucket (~n_docs/B series x M obs x 8 bytes)
+            fits comfortably in executor memory; at 10^12 series this is
+            a large constant (e.g. 2^20) set once and reused by the
+            Iceberg table's bucket partitioning.
+        **params: monitor overrides (sensitivity, lambda_, method, ...).
+    """
+
+    def __init__(self, spark: SparkSession, monitor: str = "ewma",
+                 num_buckets: int = 64, **params):
+        self.spark = spark
+        self.monitor_name = monitor
+        self.num_buckets = int(num_buckets)
+        self.params = resolve_params(monitor, **params)
+
+    # ------------------------------------------------------------------
+    def fit(self, tokens_df: DataFrame, history_end: str | None = None
+            ) -> DataFrame:
+        """Fit history models for every series; returns the state table.
+
+        ``history_end`` (YYYY-MM-DD, inclusive) truncates each series to
+        the history period; observations after it are left for
+        ``monitor``.  The cut happens inside the UDF on the positional
+        grid, so no explode/join is needed.
+        """
+        params = self.params
+        he_day = _day_number(history_end)
+
+        def fit_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame(columns=STATE_COLUMNS)
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            y = tokens_to_matrix(list(pdf["tokens"]))
+            days = grid_days(y.shape[0])
+            if he_day is not None:
+                keep = days <= he_day
+                y, days = y[keep], days[keep]
+            state = fit_state(y, days, params)
+            last = np.full(len(pdf), int(days[-1]) if len(days) else 0)
+            return state_to_pdf(state, pdf["doc_id"].to_numpy(),
+                                int(pdf["bucket"].iloc[0]), last)
+
+        bucketed = with_bucket(tokens_df, self.num_buckets)
+        return bucketed.groupBy("bucket").applyInPandas(fit_fn, STATE_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def monitor(self, state_df: DataFrame, tokens_df: DataFrame,
+                update_mask: bool = True) -> DataFrame:
+        """Advance state with all observations newer than each series'
+        ``last_day``; returns the updated state table.
+
+        Cogrouped by bucket: each task receives the bucket's state rows
+        and token rows, aligns them on doc_id in pandas, and folds the
+        sequential update in time order (vectorized across the bucket's
+        series, sequential over time — the reference's axis order).
+        """
+        params = self.params
+
+        def step_fn(state_pdf: pd.DataFrame, toks_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+            if not len(state_pdf):
+                return pd.DataFrame(columns=STATE_COLUMNS)
+            state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
+            if not len(toks_pdf):
+                return state_pdf[STATE_COLUMNS]
+            toks_pdf = (toks_pdf.set_index("doc_id")["tokens"]
+                        .reindex(state_pdf["doc_id"]))
+            token_lists = [t if t is not None and not (isinstance(t, float))
+                           else [] for t in toks_pdf]
+            y = tokens_to_matrix(token_lists)
+            days = grid_days(y.shape[0])
+            last_day = state_pdf["last_day"].to_numpy(dtype=np.int64,
+                                                      na_value=0)
+            # observations at or before last_day behave exactly like NaN
+            # gaps (reference W8 semantics) -> incremental/idempotent
+            y[days[:, None] <= last_day[None, :]] = np.nan
+            state = pdf_to_state(state_pdf)
+            run_monitor(state, y, days, params, update_mask=update_mask)
+            new_last = np.maximum(
+                last_day,
+                np.array([grid_days(len(t))[-1] if len(t) else 0
+                          for t in token_lists]))
+            return state_to_pdf(state, state_pdf["doc_id"].to_numpy(),
+                                int(state_pdf["bucket"].iloc[0]), new_last)
+
+        toks = with_bucket(tokens_df.select("doc_id", "tokens"),
+                           self.num_buckets)
+        state_g = state_df.groupBy("bucket")
+        return state_g.cogroup(toks.groupBy("bucket")).applyInPandas(
+            step_fn, STATE_SCHEMA)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def report(state_df: DataFrame,
+               layers: tuple = ("mask", "detection_date", "process")
+               ) -> DataFrame:
+        """Reference ``report()`` analog: per-series result projection
+        (``nrt/monitor/__init__.py:324-381`` minus the raster geometry)."""
+        valid = {"mask", "detection_date", "process"}
+        if not set(layers) <= valid:
+            raise ValueError("invalid layer(s) requested")
+        return state_df.select("doc_id", *layers)
+
+    # ------------------------------------------------------------------
+    def save_state(self, state_df: DataFrame, path: str) -> None:
+        """Checkpoint: bucket-partitioned parquet snapshot (the Iceberg
+        table analog of the reference's ``to_netcdf``)."""
+        (state_df.write.mode("overwrite").partitionBy("bucket")
+         .parquet(path))
+
+    def load_state(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)

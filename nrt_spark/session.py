@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(cores: int | str = "*", app_name: str = "nrt_spark",
+              shuffle_partitions: int | None = None,
+              driver_memory: str = "48g", extra_conf: dict | None = None
+              ) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    Args:
+        cores: N for ``local[N]`` or ``"*"``.
+        shuffle_partitions: defaults to 2x cores (or 32 for ``*``) — sized
+            for local mode, not the 200 cluster default.
+        driver_memory: local mode runs everything in the driver JVM.
+        extra_conf: additional ``spark.*`` settings.
+    """
+    # Keep BLAS single-threaded inside tasks: Spark tasks are the
+    # parallelism axis (same rationale as the reference's numba guidance,
+    # docs/gallery/plot_parallel_computing.py:19-34).
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(8, 2 * int(cores))
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,131 @@
+"""Spark engine vs single-process numpy oracle.
+
+The oracle runs the *same* kernels on the whole collected token table in
+one batch; the engine runs them distributed over hash buckets.  Because
+every kernel is per-series, results must match exactly (not approximately)
+— this is the tier-parity guarantee the north rule requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nrt_spark.datagen import generate_tokens
+from nrt_spark.engine import NrtEngine
+from nrt_spark.kernels.monitors import fit_state, resolve_params, run_monitor
+from nrt_spark.tokens import grid_days, tokens_to_matrix
+
+HISTORY_END = "2016-05-10"  # grid position 99 (inclusive)
+N_DOCS = 60
+N_OBS = 130
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = generate_tokens(spark, N_DOCS, n_obs=N_OBS).cache()
+    df.count()
+    return df
+
+
+def _oracle(tokens_pdf: pd.DataFrame, monitor: str, **overrides):
+    tokens_pdf = tokens_pdf.sort_values("doc_id").reset_index(drop=True)
+    params = resolve_params(monitor, **overrides)
+    y = tokens_to_matrix(list(tokens_pdf["tokens"]))
+    days = grid_days(N_OBS)
+    he = int(np.datetime64(HISTORY_END, "D").astype(int))
+    hist = days <= he
+    state = fit_state(y[hist], days[hist], params)
+    run_monitor(state, y[~hist], days[~hist], params)
+    return tokens_pdf["doc_id"].to_numpy(), state
+
+
+ENGINE_OVERRIDES = {
+    "ewma": {"trend": False, "sensitivity": 7.0},
+    "cusum": {"trend": False, "method": "OLS"},
+    "mosum": {"trend": False, "method": "OLS"},
+    "ccdc": {"method": "OLS"},
+    "iqr": {"trend": False},
+}
+
+
+@pytest.mark.parametrize("monitor", ["ewma", "cusum", "mosum", "ccdc", "iqr"])
+def test_engine_matches_oracle(spark, tokens, monitor):
+    eng = NrtEngine(spark, monitor, num_buckets=8, **ENGINE_OVERRIDES[monitor])
+    state_df = eng.fit(tokens, history_end=HISTORY_END)
+    final = eng.monitor(state_df, tokens).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    doc_ids, ostate = _oracle(tokens.toPandas(), monitor,
+                              **ENGINE_OVERRIDES[monitor])
+    assert list(final["doc_id"]) == list(doc_ids)
+    np.testing.assert_array_equal(final["mask"].to_numpy(dtype=np.uint8),
+                                  ostate["mask"])
+    np.testing.assert_array_equal(final["process"].to_numpy(),
+                                  ostate["process"])
+    np.testing.assert_array_equal(
+        final["detection_date"].to_numpy(dtype=np.int64),
+        ostate["detection_date"])
+    b_spark = final["boundary"].to_numpy()
+    np.testing.assert_array_equal(np.where(np.isnan(b_spark), -1, b_spark),
+                                  np.where(np.isnan(ostate["boundary"]), -1,
+                                           ostate["boundary"]))
+    # at least one break must have been detected for the test to be useful
+    assert (final["mask"].to_numpy() == 3).any()
+
+
+def test_incremental_monitor_equals_single_shot(spark, tokens):
+    from pyspark.sql import functions as F
+
+    eng = NrtEngine(spark, "ewma", num_buckets=8, trend=False, sensitivity=7.0)
+    state0 = eng.fit(tokens, history_end=HISTORY_END).cache()
+
+    one_shot = eng.monitor(state0, tokens).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    part1 = tokens.withColumn("tokens", F.slice("tokens", 1, 115))
+    mid = eng.monitor(state0, part1)
+    two_shot = eng.monitor(mid, tokens).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    for col in ["mask", "process", "boundary", "n", "detection_date",
+                "last_day"]:
+        np.testing.assert_array_equal(
+            one_shot[col].to_numpy(), two_shot[col].to_numpy(), err_msg=col)
+
+
+def test_state_save_load_roundtrip(spark, tokens, tmp_path):
+    eng = NrtEngine(spark, "cusum", num_buckets=8, trend=False, method="OLS")
+    state = eng.fit(tokens, history_end=HISTORY_END)
+    path = str(tmp_path / "state")
+    eng.save_state(state, path)
+    restored = eng.load_state(path)
+    a = state.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = restored.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for col in a.columns:
+        if col in ("beta", "window"):
+            for x, yv in zip(a[col], b[col]):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
+        else:
+            pd.testing.assert_series_equal(a[col], b[col], check_names=False)
+
+
+def test_datagen_deterministic(spark):
+    a = generate_tokens(spark, 20, n_obs=50).toPandas().sort_values("doc_id")
+    b = generate_tokens(spark, 20, n_obs=50).toPandas().sort_values("doc_id")
+    assert list(a["source"]) == list(b["source"])
+    for x, yv in zip(a["tokens"], b["tokens"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
+    # skewed sources present
+    assert (a["source"] == "src0").sum() > 5
+
+
+def test_report_projection(spark, tokens):
+    eng = NrtEngine(spark, "iqr", num_buckets=8, trend=False)
+    state = eng.fit(tokens, history_end=HISTORY_END)
+    rep = eng.report(eng.monitor(state, tokens))
+    assert rep.columns == ["doc_id", "mask", "detection_date", "process"]
+    assert rep.count() == N_DOCS
+    with pytest.raises(ValueError):
+        eng.report(state, layers=("mask", "bogus"))
