@@ -1,0 +1,111 @@
+"""Spark wrappers for the Gorilla codec: tier tables <-> compressed blocks.
+
+One compressed block per (doc_id, tier): ``(doc_id, n_points, ts_block,
+val_block)``.  Encoding happens in a *scalar arrow-batched pandas UDF*
+over pre-collected per-series point arrays — one Python call per Arrow
+batch of series, no per-row Python in the Spark plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from nrt_spark.gorilla import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+_BLOCK_SCHEMA = "ts_block binary, val_block binary, n_points int"
+_udf_cache: dict = {}
+
+
+def _compress_udf():
+    """Lazily-built pandas UDF (schema parsing needs an active session)."""
+    if "compress" not in _udf_cache:
+        @F.pandas_udf(_BLOCK_SCHEMA)
+        def _compress_points(pts: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            ts_blocks, val_blocks, ns = [], [], []
+            for arr in pts:
+                # arr: sequence of {"bucket_start": ts, "value": float}
+                # structs, already sorted by bucket_start
+                secs = np.array([int(p["bucket_start"].timestamp())
+                                 if hasattr(p["bucket_start"], "timestamp")
+                                 else int(p["bucket_start"]) for p in arr],
+                                dtype=np.int64)
+                vals = np.array([np.nan if p["value"] is None
+                                 else float(p["value"]) for p in arr],
+                                dtype=np.float64)
+                ts_blocks.append(encode_timestamps(secs))
+                val_blocks.append(encode_values(vals))
+                ns.append(len(secs))
+            return pd.DataFrame({"ts_block": ts_blocks,
+                                 "val_block": val_blocks, "n_points": ns})
+
+        _udf_cache["compress"] = _compress_points
+    return _udf_cache["compress"]
+
+
+def _decompress_udf():
+    if "decompress" not in _udf_cache:
+        @F.pandas_udf("ts array<long>, vals array<double>")
+        def _decompress_blocks(ts_block: pd.Series, val_block: pd.Series
+                               ) -> pd.DataFrame:
+            ts_out, val_out = [], []
+            for tb, vb in zip(ts_block, val_block):
+                ts_out.append(decode_timestamps(bytes(tb)).tolist())
+                val_out.append(decode_values(bytes(vb)).tolist())
+            return pd.DataFrame({"ts": ts_out, "vals": val_out})
+
+        _udf_cache["decompress"] = _decompress_blocks
+    return _udf_cache["decompress"]
+
+
+def compress_tier(rollup_df: DataFrame, value_col: str = "mean") -> DataFrame:
+    """Rollup tier -> one Gorilla block per doc_id.
+
+    The per-doc point list is assembled with ``sort_array(collect_list)``
+    (Catalyst), so the UDF sees ts-sorted points without a window sort.
+    """
+    pts = (
+        rollup_df
+        .select("doc_id", F.struct(F.col("bucket_start"),
+                                   F.col(value_col).alias("value")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("pts"))
+    )
+    return (
+        pts.select("doc_id", _compress_udf()("pts").alias("b"))
+        .select("doc_id", "b.ts_block", "b.val_block", "b.n_points",
+                (F.length("b.ts_block") + F.length("b.val_block"))
+                .alias("n_bytes"))
+    )
+
+
+def decompress_tier(blocks_df: DataFrame) -> DataFrame:
+    """Inverse of :func:`compress_tier`: blocks -> (doc_id, bucket_start,
+    value) long form."""
+    arr = blocks_df.select(
+        "doc_id", _decompress_udf()("ts_block", "val_block").alias("d"))
+    return (
+        arr.select("doc_id", F.arrays_zip("d.ts", "d.vals").alias("z"))
+        .select("doc_id", F.explode("z").alias("p"))
+        .select("doc_id",
+                F.col("p.ts").cast("timestamp").alias("bucket_start"),
+                F.col("p.vals").alias("value"))
+    )
+
+
+def compression_stats(blocks_df: DataFrame) -> dict:
+    """{total_points, total_bytes, bytes_per_point} for a block table."""
+    row = blocks_df.agg(
+        F.sum("n_points").alias("pts"), F.sum("n_bytes").alias("bts")
+    ).collect()[0]
+    pts = row["pts"] or 0
+    bts = row["bts"] or 0
+    return {"total_points": int(pts), "total_bytes": int(bts),
+            "bytes_per_point": (bts / pts) if pts else float("nan")}

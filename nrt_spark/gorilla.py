@@ -1,0 +1,209 @@
+"""Gorilla-style compression: delta-of-delta timestamps + XOR float values.
+
+Implements the two stream codecs from Pelkonen et al., VLDB 2015 §4.1
+("Gorilla: A Fast, Scalable, In-Memory Time Series Database"):
+
+- timestamps (§4.1.1): header + first delta, then delta-of-delta with
+  variable-length ranges {0: '0', [-63,64]: '10'+7b, [-255,256]:
+  '110'+9b, [-2047,2048]: '1110'+12b, else '1111'+64b} (the paper uses
+  32b for the catch-all; 64b here so arbitrary int64 grids round-trip)
+- values (§4.1.2): first value raw 64 bits, then XOR with predecessor;
+  '0' if identical, '10' + meaningful-bits if the XOR fits the previous
+  leading/trailing-zero window, '11' + 5b leading + 6b length + bits
+  otherwise.
+
+Pure Python/numpy with no per-*row* Spark involvement: blocks are
+encoded per series inside vectorized UDFs (one call per Arrow batch);
+the bit loop is per *point* inside the codec, which is the standard
+trade for entropy coding (numba would JIT it on a real deployment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+
+
+class BitWriter:
+    """Append-only MSB-first bit buffer backed by a Python int."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+
+    def to_bytes(self) -> bytes:
+        pad = (-self.nbits) % 8
+        acc = self.acc << pad
+        return (acc).to_bytes((self.nbits + pad) // 8, "big")
+
+
+class BitReader:
+    """MSB-first reader over bytes."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = int.from_bytes(data, "big")
+        self.pos = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        self.pos -= nbits
+        return (self.data >> self.pos) & ((1 << nbits) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Timestamps: delta-of-delta
+# ---------------------------------------------------------------------------
+
+_DOD_RANGES = (
+    (7, 0b10, 2, -63, 64),
+    (9, 0b110, 3, -255, 256),
+    (12, 0b1110, 4, -2047, 2048),
+)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Encode int64 epoch-seconds (or any int64 grid) per Gorilla §4.1.1."""
+    ts = np.asarray(ts, dtype=np.int64)
+    w = BitWriter()
+    n = len(ts)
+    w.write(n, 32)
+    if n == 0:
+        return w.to_bytes()
+    w.write(int(ts[0]) & _MASK64, 64)
+    if n == 1:
+        return w.to_bytes()
+    delta0 = int(ts[1]) - int(ts[0])
+    w.write(delta0 & _MASK64, 64)
+    deltas = np.diff(ts)
+    dods = np.diff(deltas)
+    for dod in dods:
+        dod = int(dod)
+        if dod == 0:
+            w.write(0, 1)
+            continue
+        for nbits, prefix, plen, lo, hi in _DOD_RANGES:
+            if lo <= dod <= hi:
+                w.write(prefix, plen)
+                w.write(dod - lo, nbits)
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & _MASK64, 64)
+    return w.to_bytes()
+
+
+def decode_timestamps(data: bytes) -> np.ndarray:
+    r = BitReader(data)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    first = r.read(64)
+    out[0] = first - (1 << 64) if first >= (1 << 63) else first
+    if n == 1:
+        return out
+    delta = r.read(64)
+    if delta >= (1 << 63):
+        delta -= 1 << 64
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            for nbits, _prefix, _plen, lo, _hi in _DOD_RANGES:
+                if r.read(1) == 0:
+                    dod = r.read(nbits) + lo
+                    break
+            else:
+                dod = r.read(64)
+                if dod >= (1 << 63):
+                    dod -= 1 << 64
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Values: XOR
+# ---------------------------------------------------------------------------
+
+def encode_values(values: np.ndarray) -> bytes:
+    """Encode float64 values per Gorilla §4.1.2 (NaN encodes fine: it is
+    just a bit pattern, so gap points survive round-trip)."""
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    w = BitWriter()
+    n = len(bits)
+    w.write(n, 32)
+    if n == 0:
+        return w.to_bytes()
+    prev = int(bits[0])
+    w.write(prev, 64)
+    lead, tail = 65, 65  # "invalid" previous window
+    for i in range(1, n):
+        cur = int(bits[i])
+        xor = cur ^ prev
+        prev = cur
+        if xor == 0:
+            w.write(0, 1)
+            continue
+        cur_lead = 64 - xor.bit_length()
+        cur_tail = (xor & -xor).bit_length() - 1
+        if cur_lead >= 32:          # cap per paper: 5-bit leading field
+            cur_lead = 31
+        if lead <= cur_lead and tail <= cur_tail:
+            # fits previous window: '10' + meaningful bits of that window
+            w.write(0b10, 2)
+            w.write(xor >> tail, 64 - lead - tail)
+        else:
+            lead, tail = cur_lead, cur_tail
+            mbits = 64 - lead - tail
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(mbits & 63, 6)  # 64 encodes as 0 (n==0 impossible here)
+            w.write(xor >> tail, mbits)
+    return w.to_bytes()
+
+
+def decode_values(data: bytes) -> np.ndarray:
+    r = BitReader(data)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    cur = r.read(64)
+    out[0] = cur
+    lead = tail = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = cur
+            continue
+        if r.read(1) == 0:  # '10' reuse window
+            mbits = 64 - lead - tail
+            xor = r.read(mbits) << tail
+        else:               # '11' new window
+            lead = r.read(5)
+            mbits = r.read(6)
+            if mbits == 0:
+                mbits = 64
+            tail = 64 - lead - mbits
+            xor = r.read(mbits) << tail
+        cur ^= xor
+        out[i] = cur
+    return out.view(np.float64)
+
+
+def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[bytes, bytes, int]:
+    """(ts_block, val_block, n_points) for one series/tier block."""
+    return encode_timestamps(ts), encode_values(values), len(ts)
+
+
+def decode_block(ts_block: bytes, val_block: bytes):
+    return decode_timestamps(ts_block), decode_values(val_block)

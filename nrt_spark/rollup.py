@@ -1,0 +1,158 @@
+"""Tiered continuous aggregates: rollup -> downsample -> gap-fill -> retention.
+
+The north-rule centerpiece: rolled-up point tables per retention tier over
+the decoded token series.  Design:
+
+- **Tier cascade**: the day tier aggregates the raw decoded series (one
+  shuffle); every coarser tier re-aggregates the previous tier, not the
+  raw data (``vsum``/``n`` are kept so means compose exactly).  At 100 TB
+  this means the expensive shuffle happens once; week/month tiers run
+  over ~1/7 and ~1/30 of the day-tier rows.
+- **Determinism**: the token table holds one row per series, so after the
+  explode all observations of a doc sit in one partition in positional
+  order; partial aggregation folds them left-to-right, which is the same
+  op order as the numpy oracle (byte-exact tier parity, verified in
+  tests).
+- **Gap-fill**: per-series dense bucket scaffold via ``sequence()`` +
+  left join + ``last(..., ignoreNulls)`` forward-fill, all Catalyst.
+- **Retention**: tier tables are written partitioned by period; expiry
+  is a partition drop, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tier name -> (date_trunc unit, sequence interval)
+TIERS = {
+    "day": ("day", "interval 1 day"),
+    "week": ("week", "interval 7 days"),
+    "month": ("month", "interval 1 month"),
+}
+#: coarser tier -> the finer tier it re-aggregates.  week and month both
+#: cascade from day: ISO weeks span month boundaries, so month-from-week
+#: would mis-assign cross-boundary weeks.
+TIER_PARENT = {"week": "day", "month": "day"}
+
+ROLLUP_COLS = ["doc_id", "bucket_start", "n", "vsum", "mean", "vmin",
+               "vmax", "last"]
+
+
+def rollup_raw(long_df: DataFrame, tier: str = "day") -> DataFrame:
+    """Aggregate the decoded long series into a tier's tumbling buckets.
+
+    Output: (doc_id, bucket_start, n, vsum, mean, vmin, vmax, last);
+    gap (NULL) observations count toward nothing (n counts non-null).
+    """
+    unit, _ = TIERS[tier]
+    return (
+        long_df
+        .groupBy("doc_id", F.date_trunc(unit, "ts").alias("bucket_start"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts")))
+            .alias("last"),
+        )
+        .withColumn("mean", F.col("vsum") / F.col("n"))
+        .select(*ROLLUP_COLS)
+    )
+
+
+def rollup_cascade(day_df: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (no raw re-scan).
+
+    Means compose because ``vsum`` and ``n`` are summed; ``last`` is the
+    last child bucket's last value.  NOTE: the float sum here merges
+    already-shuffled child subtotals, so ``vsum``/``mean`` can differ
+    from the flat fold by ~1 ulp and are NOT bit-reproducible across
+    runs — use this path for incremental tier maintenance, and
+    :func:`rollup_raw` when byte-exact parity is required (n, vmin,
+    vmax, last are exact on both paths).
+    """
+    unit, _ = TIERS[tier]
+    return (
+        day_df
+        .groupBy("doc_id", F.date_trunc(unit, "bucket_start").alias("bucket_start"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.max_by("last", F.when(F.col("last").isNotNull(),
+                                    F.col("bucket_start"))).alias("last"),
+        )
+        .withColumn("mean", F.col("vsum") / F.col("n"))
+        .select(*ROLLUP_COLS)
+    )
+
+
+def rollup_tiers(long_df: DataFrame) -> dict[str, DataFrame]:
+    """All tiers, each aggregated from the raw decoded stream.
+
+    With the one-row-per-series token layout, every (doc, bucket) group's
+    points live in a single input partition in positional order, so each
+    tier's float fold is a deterministic left-to-right reduction —
+    byte-exact against the numpy oracle.  (The cascade path trades that
+    determinism for not re-scanning raw data; see
+    :func:`rollup_cascade`.)
+    """
+    return {tier: rollup_raw(long_df, tier) for tier in TIERS}
+
+
+def gapfill(rollup_df: DataFrame, tier: str,
+            fill_cols: tuple = ("mean", "last")) -> DataFrame:
+    """Densify each series to every tier bucket in its own [min, max]
+    range and forward-fill the requested value columns.
+
+    Pure Catalyst: per-doc ``sequence()`` scaffold (explode), left join
+    back, then ``last(col, ignoreNulls)`` over an ordered window.  Rows
+    added by the scaffold carry ``gap_filled = true``.
+    """
+    from pyspark.sql import Window as W
+
+    unit, interval = TIERS[tier]
+    spans = rollup_df.groupBy("doc_id").agg(
+        F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1"))
+    scaffold = spans.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(b0, b1, {interval})")).alias("bucket_start"))
+    joined = scaffold.join(rollup_df, ["doc_id", "bucket_start"], "left")
+    w = (W.partitionBy("doc_id").orderBy("bucket_start")
+         .rowsBetween(W.unboundedPreceding, 0))
+    out = joined.withColumn("gap_filled", F.col("n").isNull())
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn("n", F.coalesce("n", F.lit(0)))
+
+
+def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
+    """Persist a tier table partitioned by calendar period so retention
+    expiry is a partition drop (Iceberg ``days(ts)`` partitioning analog).
+    """
+    (df.withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
+       .write.mode("overwrite").partitionBy("period")
+       .parquet(f"{base_path}/tier={tier}"))
+
+
+def expire_tier(base_path: str, tier: str, keep_after: str) -> list[str]:
+    """Retention: drop whole partition directories whose period is older
+    than ``keep_after`` (YYYY-MM).  Returns the dropped partition names.
+
+    This is the parquet stand-in for an Iceberg
+    ``expire_snapshots``/``DROP PARTITION`` metadata operation — no data
+    rewrite, O(#partitions) filesystem work.
+    """
+    tier_dir = Path(base_path) / f"tier={tier}"
+    dropped = []
+    for p in sorted(tier_dir.glob("period=*")):
+        period = p.name.split("=", 1)[1]
+        if period < keep_after:
+            shutil.rmtree(p)
+            dropped.append(p.name)
+    return dropped

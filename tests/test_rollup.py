@@ -1,0 +1,188 @@
+"""Rollup tiers, gap-fill, retention, compression, lineage — Spark vs a
+single-process pandas/numpy oracle (byte-exact where the north rule
+demands it)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nrt_spark.datagen import generate_tokens
+from nrt_spark.tokens import decode_long, grid_days
+from nrt_spark import rollup as R
+from nrt_spark.compress import compress_tier, decompress_tier, compression_stats
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = generate_tokens(spark, 40, n_obs=146).cache()  # 2 years
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def long_df(tokens):
+    return decode_long(tokens).cache()
+
+
+def _oracle_long(tokens_pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, r in tokens_pdf.iterrows():
+        toks = np.asarray(r["tokens"], dtype=np.float64)
+        days = grid_days(len(toks))
+        vals = np.where(toks == -1, np.nan, toks / 10000.0)
+        for d, v in zip(days, vals):
+            rows.append((r["doc_id"],
+                         np.datetime64("1970-01-01") + np.timedelta64(int(d), "D"),
+                         None if np.isnan(v) else float(v)))
+    return pd.DataFrame(rows, columns=["doc_id", "ts", "value"])
+
+
+def _oracle_rollup(long_pdf: pd.DataFrame, unit: str) -> pd.DataFrame:
+    """Left-to-right ts-ordered aggregation (the determinism contract)."""
+    pdf = long_pdf.copy()
+    ts = pd.to_datetime(pdf["ts"])
+    if unit == "day":
+        pdf["bucket_start"] = ts.dt.floor("D")
+    elif unit == "week":
+        pdf["bucket_start"] = (ts - pd.to_timedelta((ts.dt.dayofweek), "D")).dt.floor("D")
+    elif unit == "month":
+        pdf["bucket_start"] = ts.dt.to_period("M").dt.to_timestamp()
+    out = []
+    for (doc, b), grp in pdf.sort_values(["doc_id", "ts"]).groupby(
+            ["doc_id", "bucket_start"], sort=True):
+        v = grp["value"].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(v)
+        vv = v[keep]
+        n = int(keep.sum())
+        vsum = 0.0
+        for x in vv:  # left-to-right fold: same op order as Spark partials
+            vsum += x
+        out.append((doc, b, n,
+                    vsum if n else None,
+                    (vsum / n) if n else None,
+                    vv.min() if n else None,
+                    vv.max() if n else None,
+                    vv[-1] if n else None))
+    return pd.DataFrame(out, columns=["doc_id", "bucket_start", "n", "vsum",
+                                      "mean", "vmin", "vmax", "last"])
+
+
+@pytest.mark.parametrize("tier", ["day", "week", "month"])
+def test_rollup_matches_oracle_exactly(spark, tokens, long_df, tier):
+    tiers = R.rollup_tiers(long_df)
+    got = (tiers[tier].toPandas()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = _oracle_rollup(_oracle_long(tokens.toPandas()), tier)
+    want = want.sort_values(["doc_id", "bucket_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    for col in ["vmin", "vmax", "last"]:
+        np.testing.assert_array_equal(
+            got[col].to_numpy(dtype=np.float64),
+            want[col].to_numpy(dtype=np.float64), err_msg=col)
+    # vsum/mean: byte-exact because fold order matches (no cross-partition
+    # split of a doc's points in this layout)
+    np.testing.assert_array_equal(
+        got["vsum"].to_numpy(dtype=np.float64),
+        want["vsum"].to_numpy(dtype=np.float64), err_msg="vsum")
+
+
+@pytest.mark.parametrize("tier", ["week", "month"])
+def test_cascade_composes_from_day(spark, long_df, tier):
+    """Incremental-maintenance path: counts/extremes/last exact, float
+    sums within ~1 ulp of the flat fold (merge order differs)."""
+    day = R.rollup_raw(long_df, "day")
+    direct = R.rollup_raw(long_df, tier).toPandas().sort_values(
+        ["doc_id", "bucket_start"]).reset_index(drop=True)
+    cascaded = R.rollup_cascade(day, tier).toPandas().sort_values(
+        ["doc_id", "bucket_start"]).reset_index(drop=True)
+    assert len(direct) == len(cascaded)
+    for col in ["n", "vmin", "vmax", "last"]:
+        np.testing.assert_array_equal(
+            direct[col].to_numpy(dtype=np.float64),
+            cascaded[col].to_numpy(dtype=np.float64), err_msg=col)
+    np.testing.assert_allclose(
+        direct["mean"].to_numpy(dtype=np.float64),
+        cascaded["mean"].to_numpy(dtype=np.float64), rtol=1e-12)
+
+
+def test_gapfill_forward_fill(spark, long_df):
+    day = R.rollup_raw(long_df, "day")
+    filled = R.gapfill(day, "day").cache()
+    pdf = filled.filter(F.col("doc_id") == filled.select("doc_id").first()[0]) \
+        .orderBy("bucket_start").toPandas()
+    # dense daily scaffold (5-day cadence -> 4 of 5 days are gap-filled)
+    deltas = pdf["bucket_start"].diff().dropna().dt.days.unique()
+    assert list(deltas) == [1]
+    assert pdf["gap_filled"].mean() > 0.5
+    # forward fill: no null means after the first observed bucket
+    first_obs = pdf.index[~pdf["gap_filled"]][0]
+    assert pdf["mean"].iloc[first_obs:].notna().all()
+    # rows with real observations keep their original values (buckets
+    # that exist but hold only gap obs — n=0, mean NULL — are legitimately
+    # forward-filled, the cloud-mask semantic)
+    orig = day.toPandas().set_index(["doc_id", "bucket_start"])["mean"]
+    sub = pdf[(~pdf["gap_filled"]) & (pdf["n"] > 0)]
+    assert len(sub)
+    for _, r in sub.iterrows():
+        assert r["mean"] == orig.loc[(r["doc_id"], r["bucket_start"])]
+
+
+def test_retention_partition_drop(spark, long_df, tmp_path):
+    day = R.rollup_raw(long_df, "day")
+    R.write_tier(day, str(tmp_path), "day")
+    import pathlib
+
+    parts_before = len(list((tmp_path / "tier=day").glob("period=*")))
+    dropped = R.expire_tier(str(tmp_path), "day", keep_after="2015-07")
+    parts_after = len(list((tmp_path / "tier=day").glob("period=*")))
+    assert dropped and parts_after == parts_before - len(dropped)
+    remaining = spark.read.parquet(str(tmp_path / "tier=day"))
+    assert remaining.filter("bucket_start < '2015-07-01'").count() == 0
+    assert remaining.count() > 0
+
+
+def test_compress_roundtrip(spark, long_df):
+    day = R.rollup_raw(long_df, "day")
+    blocks = compress_tier(day, value_col="mean").cache()
+    stats = compression_stats(blocks)
+    assert stats["total_points"] == day.count()
+    # well below raw 16 bytes/point (8B ts + 8B float)
+    assert stats["bytes_per_point"] < 12
+    back = decompress_tier(blocks).toPandas().sort_values(
+        ["doc_id", "bucket_start"]).reset_index(drop=True)
+    orig = day.select("doc_id", "bucket_start", F.col("mean").alias("value")) \
+        .toPandas().sort_values(["doc_id", "bucket_start"]).reset_index(drop=True)
+    assert len(back) == len(orig)
+    np.testing.assert_array_equal(back["value"].to_numpy(),
+                                  orig["value"].to_numpy())
+    np.testing.assert_array_equal(back["bucket_start"].to_numpy(),
+                                  orig["bucket_start"].to_numpy())
+
+
+def test_lineage_resumable_job(spark, long_df, tmp_path):
+    from nrt_spark.lineage import ResumableJob, read_lineage
+
+    mp = str(tmp_path / "metrics")
+    calls = {"a": 0, "b": 0}
+
+    def make(step):
+        def fn():
+            calls[step] += 1
+            out = R.rollup_raw(long_df, "day")
+            out.write.mode("overwrite").parquet(str(tmp_path / step))
+            return spark.read.parquet(str(tmp_path / step))
+        return fn
+
+    job = ResumableJob(spark, "job1", mp)
+    assert job.step("a", make("a")) and job.step("b", make("b"))
+    # crash-and-restart: same job_id skips both
+    job2 = ResumableJob(spark, "job1", mp)
+    assert not job2.step("a", make("a")) and not job2.step("b", make("b"))
+    assert calls == {"a": 1, "b": 1}
+    lin = read_lineage(spark, mp).toPandas()
+    assert set(lin["step"]) == {"a", "b"}
+    assert (lin["rows"] > 0).any()
