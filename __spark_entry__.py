@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline on sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see
+``nrt_spark/queries.py`` for the registry; SQL-inexpressible operators —
+the sequential monitor engine, LSH internals, Gorilla compression — have
+no oracle entry and get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +13,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nrt_spark import queries as Q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: day-tier continuous aggregate over the event stream
+    joined with per-series EWMA and CUSUM process values + break flags —
+    the engine's rollup + sequential-monitoring spine in one plan."""
+    from pyspark.sql import functions as F
+
+    day = Q.events_rollup_day(spark, SF0001)
+    ewma = Q.events_ewma(spark, SF0001)
+    cusum = Q.events_cusum(spark, SF0001)
+    return (
+        day.join(F.broadcast(ewma), "user_id")
+        .join(F.broadcast(cusum), "user_id")
+        .withColumn("is_break", F.abs("process") > 3.0)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

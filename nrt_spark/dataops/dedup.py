@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame compositions (no Python UDFs): hashing is
+``md5`` (identical hex output in Spark and DuckDB, which makes every
+operator oracle-checkable), shingling is ``split`` + ``transform`` +
+``explode``.
+
+Scale notes:
+- exact dedup is a hash groupBy — one shuffle on the digest;
+- near-dup (Jaccard / MinHash-LSH) avoids the O(n^2) cross join by
+  joining on shared shingles / band buckets first, so the shuffle key is
+  the shingle/bucket hash; hot shingles (stop-phrases) should be
+  filtered by document frequency before the self-join at 100 TB scale
+  (df cap available via ``max_df``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized_text(col="text"):
+    """Lowercase, collapse whitespace — the canonical form for hashing."""
+    return F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical (normalized) texts; keep the smallest doc_id as
+    canonical.  Output: (digest, n_dupes, keep_doc_id)."""
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_dupes"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None
+                  ) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, shingle).
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stop-phrase control — essential before any self-join at scale).
+    """
+    words = docs.select(
+        "doc_id", F.split(normalized_text(), " ").alias("w"))
+    sh = words.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n})))")).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Candidate pairs come from the shingle self-join (only docs sharing at
+    least one shingle are compared); exact Jaccard is then
+    |common| / (|a| + |b| - |common|).  Output: (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
+    """
+    sh = word_shingles(docs, n=n, max_df=max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                       max_df: int | None = None) -> DataFrame:
+    """MinHash signature per doc: minhash_i = min(md5(i || shingle)).
+
+    Salted md5 gives ``num_hashes`` independent hash families that any
+    engine reproduces exactly.  Output: (doc_id, sig array<string>).
+    """
+    sh = word_shingles(docs, n=n, max_df=max_df)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
+                      band_size: int = 2, max_df: int | None = None
+                      ) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    Bands of ``band_size`` consecutive minhashes are concatenated and
+    hashed into buckets; the pair join runs per (band_idx, bucket).
+    Output: (doc_a, doc_b, n_bands) — how many bands collided.
+    """
+    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, max_df=max_df)
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", *[F.col("sig")[i] for i in
+                                     range(b * band_size,
+                                           (b + 1) * band_size)]))
+            for b in range(n_bands)
+        ])).alias("band_idx", "bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from word unigrams.
+
+    Bit j of the fingerprint is the sign of sum over words of
+    (2*b_j(word) - 1) where b_j(word) is bit (j mod 4) of hex digit j of
+    md5(word) — engine-portable bit extraction via substring + conv.
+    Output: (doc_id, simhash int).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word"))
+    words = words.filter(F.length("word") > 0).withColumn(
+        "h", F.md5("word"))
+    bit_cols = []
+    for j in range(16):
+        digit = F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        bit_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = words.groupBy("doc_id").agg(*bit_cols)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,115 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All pure Catalyst (oracle-checkable in any SQL
+engine); formulas are deliberately simple n-gram/ratio heuristics, and
+every counting primitive is split-based (no regex) so Spark and a SQL
+oracle compute bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nrt_spark.dataops.dedup import normalized_text
+
+#: tiny per-language stopword marker lists for the language-ID heuristic
+#: (public common-word lists); dict order = tie-break priority (first wins)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+}
+
+
+def count_token(col, word: str):
+    """Whole-token occurrence count via split on ' word ' over the
+    space-padded text.  Non-overlapping left-to-right — the same result
+    in any engine's split (no regex semantics involved)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.size(F.split(padded, f" {word} ", -1)) - F.lit(1)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil of
+    chars/4 per word, the common ~4-chars-per-token heuristic).
+    Output: (doc_id, n_words, n_subwords)."""
+    words = F.split(normalized_text(), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 0)).alias("n_words"),
+        F.aggregate(words, F.lit(0),
+                    lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+                    ).alias("n_subwords"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0, 1]: length band + mean word
+    length band + stopword presence.  Output: (doc_id, n_words,
+    mean_word_len, stopword_ratio, quality)."""
+    t = normalized_text()
+    words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    mean_wl = F.aggregate(words, F.lit(0),
+                          lambda a, w: a + F.length(w)) / n_words
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        c = count_token(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = stop_hits / n_words
+    quality = (
+        F.when((n_words >= 10) & (n_words <= 5000), 0.4).otherwise(0.0)
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 0.3).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 2).alias("quality"),
+    )
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """Marker-hit score per language: (doc_id, s_en, s_de, s_fr, s_es)."""
+    t = normalized_text()
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for w in markers:
+            c = count_token(t, w)
+            s = c if s is None else s + c
+        cols.append(s.cast("long").alias(f"s_{lang}"))
+    return docs.select("doc_id", *cols)
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: highest marker score wins, ties resolved
+    by LANG_MARKERS order (en > de > fr > es); zero everywhere -> 'und'.
+    Output: (doc_id, pred_lang) — an ordered CASE chain, trivially
+    mirrored in SQL."""
+    scored = lang_scores(docs)
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build the CASE chain back-to-front so earlier languages win ties
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = (F.col(f"s_{lang}") > 0)
+        for other in langs[i + 1:]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        for other in langs[:i]:
+            cond = cond & (F.col(f"s_{lang}") > F.col(f"s_{other}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: first 16 hex chars of md5 of the normalized
+    text (order-invariant contract with any engine's md5).
+    Output: (doc_id, fp, n_chars)."""
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(normalized_text()), 1, 16).alias("fp"),
+        F.length("text").alias("n_chars"),
+    )

@@ -1,0 +1,848 @@
+"""Driver-contract query registry: every operator exposed as a
+``(spark_fn, oracle_sql)`` pair.
+
+Each entry's Spark implementation and ANSI-SQL oracle are written
+against the same spec with matching column aliases, explicit casts and
+rounded floats, so the driver's row-count + schema + value-hash compare
+is deterministic.  SQL-inexpressible operators (the sequential monitor
+engine, LSH internals, compression) register with ``sql=None`` and get
+rows-only checks.
+
+Determinism conventions:
+- every float output is ``round(x, 2..6)``;
+- every LIMIT has a total tiebreak order;
+- date_trunc results are cast to DATE on both sides;
+- DuckDB integer sums are cast to BIGINT (HUGEINT otherwise);
+- hashing across engines is md5 (identical hex in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+from nrt_spark.dataops import dedup as D
+from nrt_spark.dataops import textstats as TS
+from nrt_spark.dataops import simsearch as SS
+from nrt_spark.dataops.textstats import LANG_MARKERS
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# =========================================================================
+# Relational: scans, joins, aggregations, set ops, windows
+# =========================================================================
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                  AS sum_qty,
+       round(sum(l_extendedprice), 2)                             AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc,
+       round(avg(l_quantity), 4)                                  AS avg_qty,
+       count(*)                                                   AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style scan+agg; filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+@q("top_revenue_orders", """
+SELECT o_orderkey, o_orderpriority, round(revenue, 2) AS revenue
+FROM (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+) t
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def top_revenue_orders(spark, sf_dir):
+    """Join + agg + deterministic top-k (TakeOrdered, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+    return (rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+            .select("o_orderkey", "o_orderpriority",
+                    F.round("revenue", 2).alias("revenue")))
+
+
+@q("semi_join_orders", """
+SELECT o_orderstatus, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderstatus
+""")
+def semi_join_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n")))
+
+
+@q("anti_join_customers", """
+SELECT c.c_mktsegment, count(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""")
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+
+
+@q("region_revenue", """
+SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def region_revenue(spark, sf_dir):
+    """Star join: both dims broadcast (verified in the physical plan)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+@q("setops_suppliers", """
+WITH disc AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_discount > 0.06),
+     bulk AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity > 45)
+SELECT 'union' AS op, l_suppkey FROM (SELECT * FROM disc UNION SELECT * FROM bulk)
+UNION ALL
+SELECT 'intersect' AS op, l_suppkey FROM (SELECT * FROM disc INTERSECT SELECT * FROM bulk)
+UNION ALL
+SELECT 'except' AS op, l_suppkey FROM (SELECT * FROM disc EXCEPT SELECT * FROM bulk)
+""")
+def setops_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = li.filter("l_discount > 0.06").select("l_suppkey").distinct()
+    bulk = li.filter("l_quantity > 45").select("l_suppkey").distinct()
+    return (
+        disc.union(bulk).distinct().select(F.lit("union").alias("op"), "l_suppkey")
+        .unionAll(disc.intersect(bulk)
+                  .select(F.lit("intersect").alias("op"), "l_suppkey"))
+        .unionAll(disc.exceptAll(bulk).distinct()
+                  .select(F.lit("except").alias("op"), "l_suppkey"))
+    )
+
+
+@q("topk_orders", """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def topk_orders(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price")))
+
+
+@q("rollup_pricing", """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "sum_qty", "n"))
+
+
+@q("distinct_parts_per_flag", """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""")
+def distinct_parts_per_flag(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem").groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps")))
+
+
+@q("window_rank_lineitems", """
+SELECT l_orderkey, l_linenumber, rn FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem WHERE l_orderkey % 20 = 0
+) t WHERE rn <= 2
+""")
+def window_rank_lineitems(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 20 = 0")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+            .select("l_orderkey", "l_linenumber", "rn"))
+
+
+@q("json_extract_events", """
+SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def json_extract_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.count("*").alias("n")))
+
+
+@q("asof_join_clicks", """
+SELECT p.event_id, p.user_id,
+       c.event_id AS click_id, round(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_join_clicks(spark, sf_dir):
+    """As-of join: for each purchase, the user's latest click at or
+    before it.  Spark emulation: range join + max_by per purchase (the
+    classic window/aggregate rewrite of ASOF)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"), F.col("value").alias("c_value"))
+    joined = p.join(c, (p.user_id == c.c_user) & (p.ts >= c.c_ts), "left")
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.max_by("c_id", "c_ts").alias("click_id"),
+             F.round(F.max_by("c_value", "c_ts"), 2).alias("click_value"))
+    )
+
+
+# =========================================================================
+# Time-series on events: rollups, gap-fill, sequential statistics
+# =========================================================================
+
+@q("events_rollup_day", """
+SELECT user_id, date_trunc('day', ts)::DATE AS day,
+       count(value) AS n, round(sum(value), 4) AS vsum,
+       round(avg(value), 6) AS mean,
+       round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
+       round(max_by(value, ts), 4) AS last
+FROM events GROUP BY user_id, date_trunc('day', ts)::DATE
+""")
+def events_rollup_day(spark, sf_dir):
+    """Tumbling-window continuous aggregate (tier=day) on the event
+    stream — partial+final hash agg, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("value").alias("n"),
+             F.round(F.sum("value"), 4).alias("vsum"),
+             F.round(F.avg("value"), 6).alias("mean"),
+             F.round(F.min("value"), 4).alias("vmin"),
+             F.round(F.max("value"), 4).alias("vmax"),
+             F.round(F.max_by("value", "ts"), 4).alias("last"))
+    )
+
+
+@q("events_rollup_week", """
+SELECT user_id, date_trunc('week', ts)::DATE AS week,
+       count(value) AS n, round(avg(value), 6) AS mean,
+       round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+FROM events GROUP BY user_id, date_trunc('week', ts)::DATE
+""")
+def events_rollup_week(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id",
+                   F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.count("value").alias("n"),
+             F.round(F.avg("value"), 6).alias("mean"),
+             F.round(F.min("value"), 4).alias("vmin"),
+             F.round(F.max("value"), 4).alias("vmax"))
+    )
+
+
+@q("events_gapfill_day", """
+WITH day AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+         count(value) AS n, avg(value) AS mean
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM day GROUP BY 1
+), scaffold AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT s.user_id, s.day, coalesce(d.n, 0) AS n,
+       (d.n IS NULL) AS gap_filled,
+       round(last_value(d.mean IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS mean_ff
+FROM scaffold s LEFT JOIN day d USING (user_id, day)
+""")
+def events_gapfill_day(spark, sf_dir):
+    """Dense daily scaffold per user + forward-fill (sequence + window)."""
+    ev = _t(spark, sf_dir, "events")
+    day = (ev.groupBy("user_id",
+                      F.date_trunc("day", "ts").cast("date").alias("day"))
+           .agg(F.count("value").alias("n"), F.avg("value").alias("mean")))
+    spans = day.groupBy("user_id").agg(F.min("day").alias("d0"),
+                                       F.max("day").alias("d1"))
+    scaffold = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    joined = scaffold.join(day, ["user_id", "day"], "left")
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.col("n").isNull().alias("gap_filled"),
+        F.round(F.last("mean", ignorenulls=True).over(w), 6).alias("mean_ff"))
+
+
+@q("events_ewma", """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * 0.3 * power(0.7, cnt - rn)), 6) AS ewma
+FROM ordered GROUP BY user_id
+""")
+def events_ewma(spark, sf_dir):
+    """EWMA (lambda=0.3, zero-init) closed form: the order-dependent fold
+    becomes a power-weighted sum — expressible as window + agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = W.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value") * 0.3
+                           * F.pow(F.lit(0.7), F.col("cnt") - F.col("rn"))),
+                     6).alias("ewma"))
+    )
+
+
+@q("events_cusum", """
+WITH hist AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+         count(*) AS histsize
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+), mon AS (
+  SELECT user_id, value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+)
+SELECT m.user_id,
+       round(sum((m.value - h.mu) / (h.sigma * sqrt(h.histsize))), 6)
+         AS process,
+       max(h.histsize) AS histsize
+FROM mon m JOIN hist h ON m.user_id = h.user_id
+GROUP BY m.user_id
+""")
+def events_cusum(spark, sf_dir):
+    """CUSUM final process value: history stats (first 15 days) normalize
+    the monitoring-period residual sum (cusum.py:116-131 semantics,
+    history mean as the one-parameter model)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = (ev.filter(F.col("ts") < "2024-01-16").groupBy("user_id")
+            .agg(F.avg("value").alias("mu"),
+                 F.stddev_samp("value").alias("sigma"),
+                 F.count("*").alias("histsize")))
+    mon = ev.filter(F.col("ts") >= "2024-01-16").select("user_id", "value")
+    return (
+        mon.join(hist, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(F.sum((F.col("value") - F.col("mu"))
+                           / (F.col("sigma") * F.sqrt(F.col("histsize")))),
+                     6).alias("process"),
+             F.max("histsize").alias("histsize"))
+    )
+
+
+@q("events_moving_sum", """
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_sum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rev
+  FROM events
+)
+SELECT user_id, round(win_sum, 6) AS mosum FROM r WHERE rev = 1
+""")
+def events_moving_sum(spark, sf_dir):
+    """MOSUM analog: final 5-observation moving sum per series."""
+    ev = _t(spark, sf_dir, "events")
+    w_sum = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(-4, 0))
+    w_rev = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("win_sum", F.sum("value").over(w_sum))
+        .withColumn("rev", F.row_number().over(w_rev))
+        .filter("rev = 1")
+        .select("user_id", F.round("win_sum", 6).alias("mosum"))
+    )
+
+
+@q("events_consec_outliers", """
+WITH hist AS (
+  SELECT user_id,
+         quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.75) AS q75
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+), mon AS (
+  SELECT e.user_id, e.value, h.q25, h.q75,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN hist h ON e.user_id = h.user_id
+  WHERE e.ts >= TIMESTAMP '2024-01-16'
+), flagged AS (
+  SELECT user_id, rn,
+         (value > q75 + 1.5 * (q75 - q25) OR value < q25 - 1.5 * (q75 - q25))
+           AS is_outlier
+  FROM mon
+)
+SELECT user_id,
+       max(rn) - coalesce(max(CASE WHEN NOT is_outlier THEN rn END), 0)
+         AS trailing_outliers
+FROM flagged GROUP BY user_id
+""")
+def events_consec_outliers(spark, sf_dir):
+    """IQR-monitor analog: trailing consecutive-outlier run length per
+    series (the reset-on-ok counter evaluated at end of stream)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = (ev.filter(F.col("ts") < "2024-01-16").groupBy("user_id")
+            .agg(F.expr("percentile(value, 0.25)").alias("q25"),
+                 F.expr("percentile(value, 0.75)").alias("q75")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mon = (ev.filter(F.col("ts") >= "2024-01-16")
+           .join(hist, "user_id")
+           .withColumn("rn", F.row_number().over(w)))
+    iqr = F.col("q75") - F.col("q25")
+    flagged = mon.withColumn(
+        "is_outlier",
+        (F.col("value") > F.col("q75") + 1.5 * iqr)
+        | (F.col("value") < F.col("q25") - 1.5 * iqr))
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.max("rn") - F.coalesce(
+            F.max(F.when(~F.col("is_outlier"), F.col("rn"))), F.lit(0)))
+            .alias("trailing_outliers"))
+    )
+
+
+@q("events_max_error_run", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_t
+  FROM events
+)
+SELECT user_id, max(run_len) AS max_run FROM (
+  SELECT user_id, rn - rn_t AS grp, count(*) AS run_len
+  FROM seq WHERE event_type = 'error'
+  GROUP BY user_id, rn - rn_t
+) t GROUP BY user_id
+""")
+def events_max_error_run(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive run of 'error' events."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = (ev.withColumn("rn", F.row_number().over(w_all))
+           .withColumn("rn_t", F.row_number().over(w_typ)))
+    runs = (seq.filter("event_type = 'error'")
+            .groupBy("user_id", (F.col("rn") - F.col("rn_t")).alias("grp"))
+            .agg(F.count("*").alias("run_len")))
+    return runs.groupBy("user_id").agg(F.max("run_len").alias("max_run"))
+
+
+# =========================================================================
+# Training-data ops: dedup, text stats, similarity search
+# =========================================================================
+
+@q("dedup_exact_docs", """
+SELECT digest, count(*) AS n_dupes, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS digest
+      FROM documents)
+GROUP BY digest
+""")
+def dedup_exact_docs(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+"""
+
+
+@q("dedup_jaccard_pairs", _JACCARD_SQL)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (shingle join, no cross product)."""
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3,
+                           threshold=0.08)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('salt{i}:' || shingle)) AS h{i}" for i in range(8))
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
+        for b in range(4))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@q("minhash_lsh_pairs", _minhash_sql())
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands of 2) candidate pairs; salted-md5 hash
+    families reproduce identically in any engine."""
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
+                               num_hashes=8, band_size=2)
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for j in range(16):
+        digit = f"CAST(('0x' || substr(h, {j + 1}, 1))::BIGINT AS INT)"
+        bit = f"((({digit}) >> {j % 4}) & 1)"
+        sums.append(f"sum({bit} * 2 - 1) AS s{j}")
+    terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, md5(w) AS h FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               ' ')) AS w
+    FROM documents) WHERE len(w) > 0
+), sums AS (
+  SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@q("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints(spark, sf_dir):
+    return D.simhash16(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def _langid_sql() -> str:
+    score_cols, case_lines = [], []
+    langs = list(LANG_MARKERS)
+    for lang, markers in LANG_MARKERS.items():
+        parts = [f"(len(string_split(' ' || t || ' ', ' {w} ')) - 1)"
+                 for w in markers]
+        score_cols.append(f"CAST({' + '.join(parts)} AS BIGINT) AS s_{lang}")
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        conds += [f"s_{lang} > s_{o}" for o in langs[:i]]
+        case_lines.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM norm
+)
+SELECT doc_id, CASE {' '.join(case_lines)} ELSE 'und' END AS pred_lang
+FROM scores
+"""
+
+
+@q("langid_docs", _langid_sql())
+def langid_docs(spark, sf_dir):
+    return TS.language_id(_t(spark, sf_dir, "documents"))
+
+
+@q("quality_histogram", """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(list_filter(string_split(t, ' '), w -> len(w) > 0)) AS n_words,
+         list_sum(list_transform(string_split(t, ' '), w -> len(w)))
+           / len(list_filter(string_split(t, ' '), w -> len(w) > 0))
+           AS mean_wl,
+         CAST((len(string_split(' ' || t || ' ', ' the ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' and ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' of ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' to ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' a ')) - 1) AS DOUBLE)
+           / n_words AS stop_ratio
+  FROM norm
+)
+SELECT round(CASE WHEN n_words BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END, 2) AS quality,
+       count(*) AS n_docs
+FROM stats GROUP BY 1
+""")
+def quality_histogram(spark, sf_dir):
+    return (TS.quality_scores(_t(spark, sf_dir, "documents"))
+            .groupBy("quality").agg(F.count("*").alias("n_docs")))
+
+
+@q("token_counts_by_source", """
+WITH norm AS (
+  SELECT source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT source,
+       CAST(sum(len(list_filter(string_split(t, ' '), w -> len(w) > 0)))
+            AS BIGINT) AS total_words,
+       CAST(sum(list_sum(list_transform(string_split(t, ' '),
+            w -> CAST(ceil(len(w) / 4.0) AS INT)))) AS BIGINT)
+         AS total_subwords,
+       count(*) AS n_docs
+FROM norm GROUP BY source
+""")
+def token_counts_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = TS.token_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return (tc.groupBy("source")
+            .agg(F.sum("n_words").alias("total_words"),
+                 F.sum("n_subwords").alias("total_subwords"),
+                 F.count("*").alias("n_docs")))
+
+
+@q("doc_fingerprints", """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       length(text) AS n_chars
+FROM documents
+""")
+def doc_fingerprints(spark, sf_dir):
+    return TS.fingerprints(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "fp", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@q("cosine_topk_embeddings", """
+WITH probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], probe.p::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(probe.p::DOUBLE[],
+                                        probe.p::DOUBLE[]))), 6) AS cosine
+FROM embeddings e, probe
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def cosine_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in
+             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return SS.cosine_topk(emb, probe, k=10)
+
+
+# =========================================================================
+# Rows-only entries (no SQL oracle): the sequential monitor engine,
+# LSH internals, compression, multimodal plumbing
+# =========================================================================
+
+def _datagen_report(spark, monitor: str, **params):
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+
+    toks = generate_tokens(spark, 300, n_obs=130)
+    eng = NrtEngine(spark, monitor, num_buckets=16, **params)
+    state = eng.fit(toks, history_end="2016-05-10")
+    return NrtEngine.report(eng.monitor(state, toks))
+
+
+@q("nrt_ewma_report", None)
+def nrt_ewma_report(spark, sf_dir):
+    """Full fit+monitor EWMA pipeline on the deterministic token table
+    (order-dependent fold: rows-only check)."""
+    return _datagen_report(spark, "ewma", trend=False, sensitivity=5.0)
+
+
+@q("nrt_cusum_report", None)
+def nrt_cusum_report(spark, sf_dir):
+    return _datagen_report(spark, "cusum", trend=False, method="OLS")
+
+
+@q("nrt_mosum_report", None)
+def nrt_mosum_report(spark, sf_dir):
+    return _datagen_report(spark, "mosum", trend=False, method="OLS")
+
+
+@q("nrt_iqr_report", None)
+def nrt_iqr_report(spark, sf_dir):
+    return _datagen_report(spark, "iqr", trend=False)
+
+
+@q("nrt_ccdc_report", None)
+def nrt_ccdc_report(spark, sf_dir):
+    return _datagen_report(spark, "ccdc", method="OLS")
+
+
+@q("nrt_rollup_day_tier", None)
+def nrt_rollup_day_tier(spark, sf_dir):
+    """Day-tier continuous aggregate over the token table."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.rollup import rollup_raw
+
+    toks = generate_tokens(spark, 300, n_obs=130)
+    day = rollup_raw(decode_long(toks), "day")
+    return day.select("doc_id", "bucket_start", "n",
+                      F.round("mean", 6).alias("mean"),
+                      F.round("vmin", 6).alias("vmin"),
+                      F.round("vmax", 6).alias("vmax"))
+
+
+@q("nrt_gorilla_stats", None)
+def nrt_gorilla_stats(spark, sf_dir):
+    """Compression metrics per tier: points, bytes, bytes/point, and a
+    round-trip mismatch count (must be 0)."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.rollup import rollup_tiers
+    from nrt_spark.compress import compress_tier, decompress_tier
+
+    toks = generate_tokens(spark, 200, n_obs=130)
+    tiers = rollup_tiers(decode_long(toks))
+    rows = []
+    for tier, df in tiers.items():
+        blocks = compress_tier(df, value_col="mean").cache()
+        stats = blocks.agg(F.sum("n_points").alias("p"),
+                           F.sum("n_bytes").alias("b")).collect()[0]
+        back = decompress_tier(blocks).withColumnRenamed("value", "rt")
+        orig = df.select("doc_id", "bucket_start",
+                         F.col("mean").alias("ov"))
+        mism = (back.join(orig, ["doc_id", "bucket_start"], "full")
+                .filter("(rt <> ov) AND NOT (isnan(rt) AND ov IS NULL)")
+                .count())
+        rows.append((tier, int(stats["p"]), int(stats["b"]),
+                     round(stats["b"] / stats["p"], 3), int(mism)))
+    return spark.createDataFrame(
+        rows, "tier string, n_points long, n_bytes long, "
+              "bytes_per_point double, roundtrip_mismatches long")
+
+
+@q("lsh_topk_embeddings", None)
+def lsh_topk_embeddings(spark, sf_dir):
+    """Bucketed ANN variant of cosine_topk (deterministic hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in
+             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return SS.lsh_topk(emb, probe, k=10, n_planes=6)
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Binary-payload decode plumbing (deterministic fake features)."""
+    from nrt_spark.dataops.multimodal import docs_as_media, decode_features
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    feats = decode_features(media, dim=8, fake=True)
+    return feats.select("media_id", "n_bytes",
+                        F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (fn, sql) in REGISTRY.items()
+            if sql is not None}

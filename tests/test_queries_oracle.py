@@ -1,0 +1,98 @@
+"""Local twin of the driver's correctness gate: run every registered
+query on Spark and its oracle SQL on DuckDB over the same parquet files,
+compare row count, column names, and (order-insensitively) values.
+
+Runs at sf0.001 for speed; the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from nrt_spark import queries as Q
+
+import os
+SF_DIR = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = pytest.mark.skipif(not Path(SF_DIR).exists(),
+                                reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by every column, floats rounded to 9 significant-ish decimals."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].round(9)
+        elif str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
+        elif pdf[c].dtype == bool:
+            pdf[c] = pdf[c].astype(int)
+        else:
+            try:
+                pdf[c] = pdf[c].astype("int64")
+            except (TypeError, ValueError, OverflowError):
+                pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(Q.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    fn = Q.queries()[name]
+    sql = Q.oracle_sql()[name]
+    got = canon(fn(spark, SF_DIR).toPandas())
+    want = canon(ddb.sql(sql).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)} rows"
+    for c in got.columns:
+        if np.issubdtype(got[c].dtype, np.floating):
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(dtype=np.float64),
+                rtol=1e-6, atol=1e-9, err_msg=f"{name}.{c}", equal_nan=True)
+        else:
+            mism = (got[c].to_numpy() != want[c].to_numpy())
+            assert not mism.any(), (
+                f"{name}.{c}: {mism.sum()} mismatches, e.g. "
+                f"{got[c][mism][:3].tolist()} vs {want[c][mism][:3].tolist()}")
+
+
+ROWS_ONLY = sorted(set(Q.queries()) - set(Q.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = Q.queries()[name](spark, SF_DIR)
+    assert df.count() > 0, f"{name} returned no rows"
+
+
+def test_entry_flagship(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert {"user_id", "day", "mean", "ewma", "process",
+            "is_break"} <= set(df.columns)
