@@ -23,23 +23,22 @@ _udf_cache: dict = {}
 
 
 def _compress_udf():
-    """Lazily-built pandas UDF (schema parsing needs an active session)."""
+    """Lazily-built pandas UDF (schema parsing needs an active session).
+
+    Receives ts/value as separate Arrow list columns (already sorted and
+    converted to epoch seconds JVM-side), so the only per-point work in
+    Python is the codec's own bit loop.
+    """
     if "compress" not in _udf_cache:
         @F.pandas_udf(_BLOCK_SCHEMA)
-        def _compress_points(pts: pd.Series) -> pd.DataFrame:
+        def _compress_points(ts_arr: pd.Series, val_arr: pd.Series
+                             ) -> pd.DataFrame:
             import numpy as np
 
             ts_blocks, val_blocks, ns = [], [], []
-            for arr in pts:
-                # arr: sequence of {"bucket_start": ts, "value": float}
-                # structs, already sorted by bucket_start
-                secs = np.array([int(p["bucket_start"].timestamp())
-                                 if hasattr(p["bucket_start"], "timestamp")
-                                 else int(p["bucket_start"]) for p in arr],
-                                dtype=np.int64)
-                vals = np.array([np.nan if p["value"] is None
-                                 else float(p["value"]) for p in arr],
-                                dtype=np.float64)
+            for secs, vals in zip(ts_arr, val_arr):
+                secs = np.asarray(secs, dtype=np.int64)
+                vals = np.asarray(vals, dtype=np.float64)
                 ts_blocks.append(encode_timestamps(secs))
                 val_blocks.append(encode_values(vals))
                 ns.append(len(secs))
@@ -77,9 +76,16 @@ def compress_tier(rollup_df: DataFrame, value_col: str = "mean") -> DataFrame:
                                    F.col(value_col).alias("value")).alias("p"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("p")).alias("pts"))
+        # split into primitive arrays JVM-side: the UDF gets numpy
+        # int64/float64 arrays straight from Arrow, zero per-point Python
+        # outside the codec
+        .select("doc_id",
+                F.expr("transform(pts, p -> unix_seconds(p.bucket_start))")
+                .alias("ts_arr"),
+                F.expr("transform(pts, p -> p.value)").alias("val_arr"))
     )
     return (
-        pts.select("doc_id", _compress_udf()("pts").alias("b"))
+        pts.select("doc_id", _compress_udf()("ts_arr", "val_arr").alias("b"))
         .select("doc_id", "b.ts_block", "b.val_block", "b.n_points",
                 (F.length("b.ts_block") + F.length("b.val_block"))
                 .alias("n_bytes"))

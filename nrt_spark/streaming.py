@@ -1,0 +1,132 @@
+"""Structured Streaming monitor: per-bucket stateful sequential updates.
+
+The batch engine's cogrouped monitor re-expressed as a stateful
+streaming operator (``applyInPandasWithState``, with a
+``transformWithStateInPandas`` variant for environments that ship
+protobuf — this container does not):
+
+- **key = bucket** (hash of doc_id), not doc_id: each state value holds
+  the *whole bucket's* per-series state (pickled kernel-state blob), so
+  updates stay vectorized across the bucket's series exactly like the
+  batch path — per-key Python cost is amortized over ~n_docs/B series.
+- **initial state** is the batch ``fit`` state table snapshot
+  (``NrtEngine.save_state`` writes it partitioned by bucket); each key
+  loads its own ``bucket=K`` partition with pyarrow on first sight —
+  the streaming job literally resumes from the batch checkpoint
+  artifact.
+- **late/out-of-order data**: within a micro-batch, observations are
+  folded in day order; observations at or before a series' ``last_day``
+  are masked like NaN gaps (reference W7/W8: nrt's contract is
+  no-late-data, so anything behind the per-series high-watermark is
+  dropped).
+
+Emits one row per (micro-batch, doc_id) with the post-batch mask /
+process / detection_date — the streaming ``report()``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from nrt_spark.kernels.monitors import run_monitor
+from nrt_spark.state import pdf_to_state, state_to_pdf, STATE_COLUMNS
+
+OUTPUT_SCHEMA = ("doc_id string, mask tinyint, process double, "
+                 "detection_date int, last_day int")
+STATE_BLOB_SCHEMA = "blob binary"
+OBS_SCHEMA = "doc_id string, day int, value double"
+
+
+def _load_bucket_state(state_path: str, bucket: int) -> pd.DataFrame | None:
+    """Read one bucket's rows from a bucket-partitioned state snapshot
+    (local/shared filesystem via pyarrow; no SparkSession on executors).
+    """
+    import pyarrow.parquet as pq
+
+    part = Path(state_path) / f"bucket={bucket}"
+    if not part.exists():
+        return None
+    pdf = pq.read_table(part).to_pandas()
+    pdf["bucket"] = bucket
+    return pdf[STATE_COLUMNS].sort_values("doc_id").reset_index(drop=True)
+
+
+def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
+             bucket: int) -> pd.DataFrame:
+    """Fold a micro-batch of (doc_id, day, value) through the monitor."""
+    kstate = pdf_to_state(state_pdf)
+    last_day = state_pdf["last_day"].to_numpy(dtype=np.int64)
+    doc_pos = {d: i for i, d in enumerate(state_pdf["doc_id"])}
+    days = np.sort(obs["day"].unique()).astype(np.int64)
+    K = len(state_pdf)
+    y = np.full((len(days), K), np.nan)
+    day_pos = {d: i for i, d in enumerate(days)}
+    for doc, day, val in zip(obs["doc_id"], obs["day"], obs["value"]):
+        k = doc_pos.get(doc)
+        if k is not None:
+            y[day_pos[day], k] = val
+    # late data behind each series' watermark -> NaN (skip semantics)
+    y[days[:, None] <= last_day[None, :]] = np.nan
+    run_monitor(kstate, y, days, params)
+    new_last = np.maximum(last_day, int(days.max()) if len(days) else 0)
+    return state_to_pdf(kstate, state_pdf["doc_id"].to_numpy(), bucket,
+                        new_last)
+
+
+def _report_rows(state_pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": state_pdf["doc_id"],
+        "mask": state_pdf["mask"].astype("int8"),
+        "process": state_pdf["process"].astype(float),
+        "detection_date": state_pdf["detection_date"].astype("int32"),
+        "last_day": state_pdf["last_day"].astype("int32"),
+    })
+
+
+def monitor_stream(obs_stream, state_path: str, params: dict,
+                   num_buckets: int):
+    """Wire a streaming observation source to the stateful monitor.
+
+    Args:
+        obs_stream: streaming DataFrame ``(doc_id string, day int,
+            value double)`` — ``day`` = days since 1970-01-01.
+        state_path: bucket-partitioned state snapshot written by
+            ``NrtEngine.save_state`` after ``fit``.
+        params: ``resolve_params(...)`` output.
+        num_buckets: must equal the engine's ``num_buckets``.
+
+    Returns:
+        streaming DataFrame (doc_id, mask, process, detection_date,
+        last_day), one row per doc per micro-batch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def step(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        bucket = int(key[0])
+        if state.exists:
+            state_pdf = pickle.loads(state.get[0])
+        else:
+            state_pdf = _load_bucket_state(state_path, bucket)
+            if state_pdf is None:
+                return
+        obs = pd.concat(list(pdfs), ignore_index=True)
+        obs = obs.sort_values("day")
+        new_pdf = _advance(state_pdf, obs, params, bucket)
+        state.update((pickle.dumps(new_pdf[STATE_COLUMNS], protocol=4),))
+        yield _report_rows(new_pdf)
+
+    keyed = obs_stream.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"))
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        step,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_BLOB_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,60 @@
+"""Zero-shuffle fast path must be bit-identical to the Catalyst tier
+pipeline + compress path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nrt_spark.datagen import generate_tokens
+from nrt_spark.tokens import decode_long
+from nrt_spark.rollup import rollup_tiers
+from nrt_spark.compress import compress_tier, decompress_tier
+from nrt_spark.fastpath import rollup_compress_tokens
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = generate_tokens(spark, 30, n_obs=146).cache()
+    df.count()
+    return df
+
+
+def test_fastpath_matches_catalyst_path(spark, tokens):
+    fast = rollup_compress_tokens(tokens).cache()
+    tiers = rollup_tiers(decode_long(tokens))
+    for tier, df in tiers.items():
+        slow_blocks = compress_tier(df, value_col="mean")
+        a = (slow_blocks.select("doc_id", "ts_block", "val_block", "n_points")
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        b = (fast.filter(F.col("tier") == tier)
+             .select("doc_id", "ts_block", "val_block", "n_points")
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(a["doc_id"]) == list(b["doc_id"]), tier
+        np.testing.assert_array_equal(a["n_points"].to_numpy(),
+                                      b["n_points"].to_numpy(), err_msg=tier)
+        for col in ("ts_block", "val_block"):
+            same = [bytes(x) == bytes(y) for x, y in zip(a[col], b[col])]
+            assert all(same), f"{tier}.{col}: {same.count(False)} differ"
+
+
+def test_fastpath_plan_has_no_exchange(spark, tokens):
+    fast = rollup_compress_tokens(tokens)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_fastpath_decodes_back(spark, tokens):
+    fast = rollup_compress_tokens(tokens, tiers=("week",))
+    back = decompress_tier(fast.select("doc_id", "ts_block", "val_block"))
+    week = rollup_tiers(decode_long(tokens))["week"]
+    a = back.withColumnRenamed("value", "rt")
+    j = a.join(week.select("doc_id", "bucket_start",
+                           F.col("mean").alias("ov")),
+               ["doc_id", "bucket_start"], "full")
+    # NaN means (all-gap buckets) come back as NULL through Arrow —
+    # both NULL is a match; any one-sided NULL or value difference fails
+    bad = j.filter("(rt IS NULL) <> (ov IS NULL) OR rt <> ov")
+    assert bad.count() == 0

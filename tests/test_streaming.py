@@ -1,0 +1,78 @@
+"""Streaming monitor vs the batch engine: feeding the monitor period as
+file-source micro-batches through transformWithStateInPandas must land
+in exactly the batch engine's final state."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nrt_spark.datagen import generate_tokens
+from nrt_spark.engine import NrtEngine
+from nrt_spark.kernels.monitors import resolve_params
+from nrt_spark.streaming import monitor_stream
+from nrt_spark.tokens import decode_long
+
+HISTORY_END = "2016-05-10"
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream")
+    toks = generate_tokens(spark, N_DOCS, n_obs=130).cache()
+    toks.count()
+    eng = NrtEngine(spark, "cusum", num_buckets=4, trend=False, method="OLS")
+    state0 = eng.fit(toks, history_end=HISTORY_END).cache()
+    state0.count()
+    eng.save_state(state0, str(tmp / "state0"))
+
+    # long-form monitor-period observations, split into 3 chunk files
+    obs = (decode_long(toks)
+           .withColumn("day", F.datediff("ts", F.lit("1970-01-01")))
+           .filter(F.col("ts") > HISTORY_END)
+           .select("doc_id", "day", "value"))
+    days = sorted(r["day"] for r in obs.select("day").distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    src = tmp / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, cuts[0]), (cuts[0], cuts[1]),
+                                  (cuts[1], 10 ** 9)]):
+        (obs.filter((F.col("day") > lo) & (F.col("day") <= hi))
+            .coalesce(1).write.parquet(str(src / f"chunk{i}")))
+    return toks, eng, state0, obs, src, tmp
+
+
+def test_stream_matches_batch(spark, setup):
+    toks, eng, state0, obs, src, tmp = setup
+    params = resolve_params("cusum", trend=False, method="OLS")
+
+    stream = (spark.readStream.schema("doc_id string, day int, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/chunk*"))
+    out = monitor_stream(stream, str(tmp / "state0"), params, num_buckets=4)
+    q = (out.writeStream.format("memory").queryName("mon_out")
+         .option("checkpointLocation", str(tmp / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # last emitted row per doc = final streaming state
+    got = (spark.sql("SELECT * FROM mon_out")
+           .groupBy("doc_id")
+           .agg(F.max_by("mask", "last_day").alias("mask"),
+                F.max_by("process", "last_day").alias("process"),
+                F.max_by("detection_date", "last_day").alias("detection_date"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    want = (eng.monitor(state0, toks).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    assert len(got) == N_DOCS
+    np.testing.assert_array_equal(got["mask"].to_numpy(dtype=np.int64),
+                                  want["mask"].to_numpy(dtype=np.int64))
+    np.testing.assert_array_equal(got["process"].to_numpy(),
+                                  want["process"].to_numpy())
+    np.testing.assert_array_equal(
+        got["detection_date"].to_numpy(dtype=np.int64),
+        want["detection_date"].to_numpy(dtype=np.int64))
