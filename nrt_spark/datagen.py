@@ -30,14 +30,30 @@ TOKENS_SCHEMA = T.StructType([
     T.StructField("source", T.StringType(), False),
 ])
 
+BANDS_SCHEMA = T.StructType(TOKENS_SCHEMA.fields + [
+    T.StructField("green_tokens", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("swir_tokens", T.ArrayType(T.IntegerType(), False), False),
+])
+
+
+def _quantize(v: np.ndarray, gaps: np.ndarray) -> np.ndarray:
+    tok = np.rint(np.clip(v, -3.0, 3.0) * SCALE).astype(np.int32)
+    tok[gaps] = GAP_TOKEN
+    return tok
+
 
 def _gen_batch(pdf: pd.DataFrame, n_obs: int, break_frac: float,
-               gap_frac: float, noise: float) -> pd.DataFrame:
-    """Generate token rows for a batch of (doc_id, seed64, src_u) rows."""
+               gap_frac: float, noise: float, bands: bool,
+               outlier_frac: float) -> pd.DataFrame:
+    """Generate token rows for a batch of (doc_id, seed64, src_u) rows.
+
+    Band values and cloud outliers use *separate* RNG streams derived
+    from the doc seed, so enabling them never changes the main token
+    stream for a given doc_id.
+    """
     days = grid_days(n_obs)
     X = regressors_for_days(days, trend=False, harmonic_order=2)
-    out_tokens = []
-    out_src = []
+    out = {"tokens": [], "source": [], "green": [], "swir": []}
     for doc_id, seed, src_u in zip(pdf["doc_id"], pdf["seed64"], pdf["src_u"]):
         rng = np.random.Generator(np.random.PCG64(np.uint64(seed)))
         beta = np.array([
@@ -52,24 +68,44 @@ def _gen_batch(pdf: pd.DataFrame, n_obs: int, break_frac: float,
             b_idx = int(n_obs * (0.5 + 0.4 * rng.random()))
             v[b_idx:] -= 0.1 + 0.2 * rng.random()
         gaps = rng.random(n_obs) < gap_frac
-        tok = np.rint(np.clip(v, -3.0, 3.0) * SCALE).astype(np.int32)
-        tok[gaps] = GAP_TOKEN
-        out_tokens.append(tok)
+        if bands or outlier_frac:
+            rng2 = np.random.Generator(np.random.PCG64(np.uint64(seed) ^
+                                                       np.uint64(0xB0BA)))
+            green = 0.05 + 0.01 * rng2.standard_normal(n_obs)
+            swir = 0.20 + 0.02 * rng2.standard_normal(n_obs)
+            if outlier_frac:
+                # undetected clouds: bright green spike + value spike
+                clouds = rng2.random(n_obs) < outlier_frac
+                v = np.where(clouds, v + 0.3, v)
+                green = np.where(clouds, green + 0.1, green)
+            out["green"].append(_quantize(green, gaps))
+            out["swir"].append(_quantize(swir, gaps))
+        out["tokens"].append(_quantize(v, gaps))
         # zipf-ish skew: u^3 concentrates mass on src0
-        out_src.append(f"src{int(10 * src_u ** 3)}")
-    return pd.DataFrame({
+        out["source"].append(f"src{int(10 * src_u ** 3)}")
+    res = pd.DataFrame({
         "doc_id": pdf["doc_id"],
-        "tokens": out_tokens,
-        "n_tok": [len(t) for t in out_tokens],
-        "source": out_src,
+        "tokens": out["tokens"],
+        "n_tok": [len(t) for t in out["tokens"]],
+        "source": out["source"],
     })
+    if bands:
+        res["green_tokens"] = out["green"]
+        res["swir_tokens"] = out["swir"]
+    return res
 
 
 def generate_tokens(spark: SparkSession, n_docs: int, n_obs: int = 130,
                     break_frac: float = 0.5, gap_frac: float = 0.08,
-                    noise: float = 0.02, partitions: int | None = None
+                    noise: float = 0.02, partitions: int | None = None,
+                    bands: bool = False, outlier_frac: float = 0.0
                     ) -> DataFrame:
     """Deterministic token table with ``n_docs`` series of ``n_obs`` steps.
+
+    ``bands=True`` adds green/swir reflectance token columns (for the
+    CCDC_RIRLS multispectral screen); ``outlier_frac`` plants cloud
+    outliers (value + green spikes).  Both default off and never perturb
+    the main token stream.
 
     Scale note: ``spark.range`` distributes id generation; all per-doc
     randomness derives from ``xxhash64(doc_id)`` so regenerating any
@@ -90,6 +126,7 @@ def generate_tokens(spark: SparkSession, n_docs: int, n_obs: int = 130,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _gen_batch(pdf, n_obs, break_frac, gap_frac, noise)
+                yield _gen_batch(pdf, n_obs, break_frac, gap_frac, noise,
+                                 bands, outlier_frac)
 
-    return seeded.mapInPandas(gen, TOKENS_SCHEMA)
+    return seeded.mapInPandas(gen, BANDS_SCHEMA if bands else TOKENS_SCHEMA)

@@ -78,6 +78,10 @@ class NrtEngine:
         """
         params = self.params
         he_day = _day_number(history_end)
+        needs_bands = params.get("screen_outliers") == "CCDC_RIRLS"
+        if needs_bands and "green_tokens" not in tokens_df.columns:
+            raise ValueError("CCDC_RIRLS screen requires green_tokens and "
+                             "swir_tokens columns in the token table")
 
         def fit_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(pdf):
@@ -85,10 +89,18 @@ class NrtEngine:
             pdf = pdf.sort_values("doc_id").reset_index(drop=True)
             y = tokens_to_matrix(list(pdf["tokens"]))
             days = grid_days(y.shape[0])
+            green = swir = None
+            if needs_bands:
+                green = tokens_to_matrix(list(pdf["green_tokens"]),
+                                         max_len=y.shape[0])
+                swir = tokens_to_matrix(list(pdf["swir_tokens"]),
+                                        max_len=y.shape[0])
             if he_day is not None:
                 keep = days <= he_day
                 y, days = y[keep], days[keep]
-            state = fit_state(y, days, params)
+                if needs_bands:
+                    green, swir = green[keep], swir[keep]
+            state = fit_state(y, days, params, green=green, swir=swir)
             last = np.full(len(pdf), int(days[-1]) if len(days) else 0)
             return state_to_pdf(state, pdf["doc_id"].to_numpy(),
                                 int(pdf["bucket"].iloc[0]), last)

@@ -129,3 +129,68 @@ def test_report_projection(spark, tokens):
     assert rep.count() == N_DOCS
     with pytest.raises(ValueError):
         eng.report(state, layers=("mask", "bogus"))
+
+
+def test_ccdc_multivariate_screen(spark):
+    """CCDC default pipeline: CCDC_RIRLS screen over green/swir bands +
+    CCDC-stable fit, engine vs oracle; planted clouds must be screened
+    (lower rmse than the unscreened fit)."""
+    toks = generate_tokens(spark, 24, n_obs=N_OBS, bands=True,
+                           outlier_frac=0.05, break_frac=0.0).cache()
+    eng = NrtEngine(spark, "ccdc", num_buckets=4,
+                    method="CCDC-stable", screen_outliers="CCDC_RIRLS")
+    got = (eng.fit(toks, history_end=HISTORY_END).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    pdf = toks.toPandas().sort_values("doc_id").reset_index(drop=True)
+    y = tokens_to_matrix(list(pdf["tokens"]))
+    g = tokens_to_matrix(list(pdf["green_tokens"]), max_len=y.shape[0])
+    s = tokens_to_matrix(list(pdf["swir_tokens"]), max_len=y.shape[0])
+    days = grid_days(N_OBS)
+    he = int(np.datetime64(HISTORY_END, "D").astype(int))
+    hist = days <= he
+    params = resolve_params("ccdc", method="CCDC-stable",
+                            screen_outliers="CCDC_RIRLS")
+    ostate = fit_state(y[hist], days[hist], params,
+                       green=g[hist], swir=s[hist])
+    np.testing.assert_array_equal(got["rmse"].to_numpy(), ostate["rmse"])
+    np.testing.assert_array_equal(got["mask"].to_numpy(dtype=np.uint8),
+                                  ostate["mask"])
+
+    unscreened = fit_state(y[hist], days[hist],
+                           resolve_params("ccdc", method="CCDC-stable"))
+    both = (ostate["mask"] == 1) & (unscreened["mask"] == 1)
+    assert both.sum() > 10
+    assert (ostate["rmse"][both] < unscreened["rmse"][both]).mean() > 0.8
+
+
+def test_engine_roc_fit(spark, tokens):
+    """ROC stable-history fit through the engine (reverse-ordered
+    rec-CUSUM per series; Spark parallelizes across buckets)."""
+    eng = NrtEngine(spark, "cusum", num_buckets=8, trend=False, method="ROC")
+    got = (eng.fit(tokens, history_end=HISTORY_END).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pdf = tokens.toPandas().sort_values("doc_id").reset_index(drop=True)
+    y = tokens_to_matrix(list(pdf["tokens"]))
+    days = grid_days(N_OBS)
+    hist = days <= int(np.datetime64(HISTORY_END, "D").astype(int))
+    ostate = fit_state(y[hist], days[hist],
+                       resolve_params("cusum", trend=False, method="ROC"))
+    np.testing.assert_array_equal(got["mask"].to_numpy(dtype=np.uint8),
+                                  ostate["mask"])
+    np.testing.assert_array_equal(
+        got["fit_start"].to_numpy(dtype=np.int64), ostate["fit_start"])
+    # some series fit a truncated (stable) history
+    assert (got["fit_start"].to_numpy() > 16436).any()
+
+
+def test_salted_source_stats(spark, tokens):
+    from nrt_spark.skew import salted_source_stats, plain_source_stats
+
+    a = salted_source_stats(tokens, salts=8).toPandas() \
+        .sort_values("source").reset_index(drop=True)
+    b = plain_source_stats(tokens).toPandas() \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the skew is real: top source holds a large share
+    assert a["n_docs"].max() / a["n_docs"].sum() > 0.3
