@@ -106,6 +106,44 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     return out
 
 
+def run_fit_bench(cores: int, n_docs: int = 3000) -> dict:
+    """Fit-method timing ranking + monitor cost, mirroring the
+    reference's relative benchmark (docs/gallery/plot_parallel_computing
+    .py: OLS fastest, RIRLS ~ CCDC-stable slower, ROC slowest; monitor
+    'negligible' vs fit)."""
+    from nrt_spark.session import get_spark
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+
+    spark = get_spark(cores=cores, app_name=f"fitbench{cores}")
+    toks = generate_tokens(spark, n_docs, n_obs=N_OBS,
+                           partitions=spark.sparkContext.defaultParallelism
+                           ).persist()
+    toks.count()
+    out: dict = {"n_docs": n_docs, "cores": cores}
+    for method in ("OLS", "RIRLS", "CCDC-stable", "ROC"):
+        kw = dict(method=method)
+        if method == "CCDC-stable":
+            eng = NrtEngine(spark, "ccdc", num_buckets=4 * cores, **kw)
+        else:
+            eng = NrtEngine(spark, "cusum", num_buckets=4 * cores,
+                            trend=False, **kw)
+        t0 = time.time()
+        state = eng.fit(toks, history_end="2016-05-10")
+        state.count()
+        out[f"fit_{method}_sec"] = round(time.time() - t0, 2)
+        if method == "OLS":
+            state = state.persist()
+            state.count()
+            t0 = time.time()
+            eng.monitor(state, toks).count()
+            out["monitor_sec"] = round(time.time() - t0, 2)
+            out["monitor_obs_per_sec"] = round(
+                n_docs * 30 / out["monitor_sec"], 1)
+    spark.stop()
+    return out
+
+
 def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
     """The north-rule evidence: the same job at local[N] and local[4N]
     in fresh JVMs over the same input.
@@ -147,9 +185,12 @@ if __name__ == "__main__":
     ap.add_argument("--scale-n", type=int, default=2,
                     help="scaling pair is local[N] vs local[4N]")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--fit-bench", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, n=args.scale_n)))
+    elif args.fit_bench:
+        print(json.dumps(run_fit_bench(args.cores)))
     else:
         print(json.dumps(run_bench(args.cores, args.sf_dir,
                                    include_queries=not args.pipeline_only)))

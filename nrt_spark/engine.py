@@ -105,7 +105,11 @@ class NrtEngine:
             return state_to_pdf(state, pdf["doc_id"].to_numpy(),
                                 int(pdf["bucket"].iloc[0]), last)
 
-        bucketed = with_bucket(tokens_df, self.num_buckets)
+        # shuffle only what the UDF reads (band arrays double the shuffle
+        # volume; keep them out unless the screen needs them)
+        cols = ["doc_id", "tokens"] + (
+            ["green_tokens", "swir_tokens"] if needs_bands else [])
+        bucketed = with_bucket(tokens_df.select(*cols), self.num_buckets)
         return bucketed.groupBy("bucket").applyInPandas(fit_fn, STATE_SCHEMA)
 
     # ------------------------------------------------------------------

@@ -158,6 +158,9 @@ def fit_state(y: np.ndarray, dates_days: np.ndarray, params: dict,
         return state
 
     method = params["method"]
+    if method == "LASSO":
+        # reference parity: declared but unimplemented (__init__.py:244-245)
+        raise NotImplementedError("Method not yet implemented")
     if method == "OLS":
         beta_flat, resid_flat = ols(X, y_flat)
     elif method == "RIRLS":

@@ -260,6 +260,26 @@ def asof_join_clicks(spark, sf_dir):
     )
 
 
+@q("pivot_status_qty", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_status_qty(spark, sf_dir):
+    """Pivot on linestatus (Spark's pivot operator; the oracle uses the
+    equivalent conditional aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["O", "F"])
+           .agg(F.round(F.sum("l_quantity"), 2)))
+    cnt = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return (piv.withColumnRenamed("O", "qty_O")
+            .withColumnRenamed("F", "qty_F")
+            .join(cnt, "l_returnflag"))
+
+
 # =========================================================================
 # Time-series on events: rollups, gap-fill, sequential statistics
 # =========================================================================
@@ -733,10 +753,74 @@ def cosine_topk_embeddings(spark, sf_dir):
     return SS.cosine_topk(emb, probe, k=10)
 
 
+@q("embedding_neardup_pairs", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.4
+""")
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force threshold
+    join; the LSH-bucketed variant is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("eb"))
+    cos = SS.cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 # =========================================================================
 # Rows-only entries (no SQL oracle): the sequential monitor engine,
 # LSH internals, compression, multimodal plumbing
 # =========================================================================
+
+
+@q("distinct_approx_events", None)
+def distinct_approx_events(spark, sf_dir):
+    """HLL++ approximate distinct counts (engine-specific sketches have
+    no cross-engine oracle; rows-only check)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.approx_count_distinct("event_id", 0.01)
+                 .alias("approx_events")))
+
+
+@q("band_ratio_projection", None)
+def band_ratio_projection(spark, sf_dir):
+    """NDVI-style band-ratio projection with inf->NULL handling
+    (reference F8: (B8A-B04)/(B8A+B04), conftest.py:36) over the band
+    token table."""
+    from nrt_spark.datagen import generate_tokens
+
+    toks = generate_tokens(spark, 200, n_obs=60, bands=True)
+    long = toks.select(
+        "doc_id", F.posexplode(F.arrays_zip("green_tokens", "swir_tokens"))
+        .alias("pos", "z"))
+    g = F.when(F.col("z.green_tokens") == -1, None) \
+        .otherwise(F.col("z.green_tokens") / 10000.0)
+    s = F.when(F.col("z.swir_tokens") == -1, None) \
+        .otherwise(F.col("z.swir_tokens") / 10000.0)
+    ratio = (s - g) / (s + g)
+    return long.select(
+        "doc_id", "pos",
+        F.round(F.when(F.isnan(ratio), None).otherwise(ratio), 6)
+        .alias("ndvi_like")).filter(F.col("ndvi_like").isNotNull())
 
 def _datagen_report(spark, monitor: str, **params):
     from nrt_spark.datagen import generate_tokens

@@ -194,3 +194,19 @@ def test_salted_source_stats(spark, tokens):
     pd.testing.assert_frame_equal(a, b)
     # the skew is real: top source holds a large share
     assert a["n_docs"].max() / a["n_docs"].sum() > 0.3
+
+
+def test_engine_rirls_fit(spark, tokens):
+    """Robust IRLS fit method through the engine vs oracle."""
+    eng = NrtEngine(spark, "iqr", num_buckets=8, trend=False, method="RIRLS")
+    got = (eng.fit(tokens, history_end=HISTORY_END).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pdf = tokens.toPandas().sort_values("doc_id").reset_index(drop=True)
+    y = tokens_to_matrix(list(pdf["tokens"]))
+    days = grid_days(N_OBS)
+    hist = days <= int(np.datetime64(HISTORY_END, "D").astype(int))
+    ostate = fit_state(y[hist], days[hist],
+                       resolve_params("iqr", trend=False, method="RIRLS"))
+    got_beta = np.stack([np.asarray(b) for b in got["beta"]], axis=1)
+    np.testing.assert_array_equal(got_beta, ostate["beta"])
+    np.testing.assert_array_equal(got["q25"].to_numpy(), ostate["q25"])

@@ -186,3 +186,16 @@ def test_lineage_resumable_job(spark, long_df, tmp_path):
     lin = read_lineage(spark, mp).toPandas()
     assert set(lin["step"]) == {"a", "b"}
     assert (lin["rows"] > 0).any()
+
+
+def test_partition_pruning_on_tier_read(spark, long_df, tmp_path):
+    """Time-slice reads of a period-partitioned tier table must prune
+    partitions at the scan (SURVEY O2: Iceberg days(ts) analog)."""
+    day = R.rollup_raw(long_df, "day")
+    R.write_tier(day, str(tmp_path), "day")
+    df = (spark.read.parquet(str(tmp_path / "tier=day"))
+          .filter("period >= '2016-01'"))
+    plan = df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "period" in plan
+    # the pruned read returns only the kept periods
+    assert df.filter("bucket_start < '2016-01-01'").count() == 0
