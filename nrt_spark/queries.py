@@ -790,6 +790,61 @@ def embedding_neardup_pairs(spark, sf_dir):
 # =========================================================================
 
 
+@q("tokenize_docs", """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                             ' ')) AS w
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_tok,
+       CAST(sum(('0x' || substr(md5(w), 1, 8))::BIGINT % 50000) AS BIGINT)
+         AS tok_checksum
+FROM words WHERE len(w) > 0 GROUP BY doc_id
+""")
+def tokenize_docs(spark, sf_dir):
+    """Deterministic tokenizer: word -> id via md5-derived hash mod vocab
+    (identical ids in any engine).  Output: per-doc token count +
+    checksum of the id stream."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(D.normalized_text(), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tok_id = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 50000
+    return (words.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"),
+                 F.sum(tok_id).alias("tok_checksum")))
+
+
+@q("token_roundtrip_invariant", None)
+def token_roundtrip_invariant(spark, sf_dir):
+    """The BASELINE input_hint per-row invariant: decode -> re-encode of
+    every token array must be bit-identical (gap tokens included).
+    Output: per-source row counts with zero mismatches."""
+    import numpy as np
+    import pandas as pd
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import tokens_to_matrix, values_to_tokens
+
+    toks = generate_tokens(spark, 500, n_obs=130)
+
+    def check(batches):
+        for pdf in batches:
+            ok = []
+            for t in pdf["tokens"]:
+                t = np.asarray(t, dtype=np.int32)
+                y = tokens_to_matrix([t])[:, 0]
+                ok.append(bool((values_to_tokens(y) == t).all()))
+            yield pd.DataFrame({"source": pdf["source"], "ok": ok})
+
+    res = toks.mapInPandas(check, "source string, ok boolean")
+    return (res.groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+                 .alias("mismatches")))
+
+
 @q("distinct_approx_events", None)
 def distinct_approx_events(spark, sf_dir):
     """HLL++ approximate distinct counts (engine-specific sketches have
