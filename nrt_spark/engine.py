@@ -132,6 +132,11 @@ class NrtEngine:
             state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
             if not len(toks_pdf):
                 return state_pdf[STATE_COLUMNS]
+            if toks_pdf["doc_id"].duplicated().any():
+                dupes = toks_pdf["doc_id"][toks_pdf["doc_id"].duplicated()]
+                raise ValueError(
+                    "monitor() expects one token row per doc_id per call; "
+                    f"duplicates include {sorted(set(dupes))[:3]}")
             toks_pdf = (toks_pdf.set_index("doc_id")["tokens"]
                         .reindex(state_pdf["doc_id"]))
             token_lists = [t if t is not None and not (isinstance(t, float))

@@ -1,0 +1,60 @@
+"""Property-based kernel tests (hypothesis; numpy-only, fast)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from nrt_spark.kernels.stats import nanlstsq
+from nrt_spark.tokens import tokens_to_matrix, values_to_tokens, GAP_TOKEN
+
+finite = st.floats(min_value=-1.0, max_value=1.0, allow_nan=False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(finite, min_size=8, max_size=60),
+       st.integers(min_value=0, max_value=2 ** 31 - 1))
+def test_ewma_fold_equals_closed_form(vals, seed):
+    """The sequential EWMA fold equals the power-weighted closed form
+    (the SQL-oracle expression in queries.events_ewma)."""
+    lam = 0.3
+    r = np.array(vals)
+    ewma = 0.0
+    for v in r:
+        ewma = (1 - lam) * ewma + lam * v
+    n = len(r)
+    closed = float(np.sum(r * lam * (1 - lam) ** (n - 1 - np.arange(n))))
+    np.testing.assert_allclose(ewma, closed, rtol=1e-9, atol=1e-12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2 ** 31 - 1),
+       st.integers(min_value=2, max_value=5),
+       st.integers(min_value=1, max_value=6))
+def test_nanlstsq_pattern_grouping_invariant(seed, k_series, nan_tenths):
+    """Grouped multi-RHS solves equal naive per-series solves for any
+    NaN pattern (the grouping is a pure optimization)."""
+    rng = np.random.RandomState(seed % 100000)
+    M = 40
+    X = np.c_[np.ones(M), np.linspace(0, 1, M), np.cos(np.linspace(0, 6, M))]
+    y = X @ rng.normal(size=(3, k_series)) + 0.1 * rng.normal(size=(M, k_series))
+    y[rng.random_sample((M, k_series)) < nan_tenths / 20] = np.nan
+    # keep every series solvable
+    y[:6] = rng.normal(size=(6, k_series))
+    beta = nanlstsq(X, y)
+    for k in range(k_series):
+        keep = ~np.isnan(y[:, k])
+        Xs, ys = X[keep], y[keep, k]
+        want = np.linalg.solve(Xs.T @ Xs, Xs.T @ ys)
+        np.testing.assert_allclose(beta[:, k], want, rtol=1e-8, atol=1e-10)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-30000, max_value=30000) |
+                st.just(GAP_TOKEN), max_size=80))
+def test_token_roundtrip_property(toks):
+    """decode -> re-encode is the identity on any token array."""
+    t = np.asarray(toks, dtype=np.int32)
+    y = tokens_to_matrix([t])[:, 0] if len(t) else np.array([])
+    back = values_to_tokens(y)
+    np.testing.assert_array_equal(back, t)
