@@ -177,10 +177,14 @@ class NrtEngine:
 
     # ------------------------------------------------------------------
     def save_state(self, state_df: DataFrame, path: str) -> None:
-        """Checkpoint: bucket-partitioned parquet snapshot (the Iceberg
-        table analog of the reference's ``to_netcdf``)."""
-        (state_df.write.mode("overwrite").partitionBy("bucket")
-         .parquet(path))
+        """Checkpoint: bucket-partitioned snapshot (Iceberg table when a
+        catalog is configured, parquet otherwise — the engine analog of
+        the reference's ``to_netcdf``; see nrt_spark.catalog)."""
+        from nrt_spark.catalog import write_table
+
+        write_table(state_df, path, partition_cols=("bucket",))
 
     def load_state(self, path: str) -> DataFrame:
-        return self.spark.read.parquet(path)
+        from nrt_spark.catalog import read_table
+
+        return read_table(self.spark, path)

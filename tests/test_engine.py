@@ -210,3 +210,18 @@ def test_engine_rirls_fit(spark, tokens):
     got_beta = np.stack([np.asarray(b) for b in got["beta"]], axis=1)
     np.testing.assert_array_equal(got_beta, ostate["beta"])
     np.testing.assert_array_equal(got["q25"].to_numpy(), ostate["q25"])
+
+
+def test_catalog_backend_fallback(spark, tokens, tmp_path):
+    """Without an Iceberg runtime the catalog writes partitioned parquet
+    with the same physical layout; the Iceberg path activates only when
+    a SparkCatalog is configured AND loadable."""
+    from nrt_spark.catalog import iceberg_available, write_table, read_table
+
+    assert not iceberg_available(spark)  # no Iceberg jar in this env
+    p = str(tmp_path / "tbl")
+    write_table(tokens.limit(10), p, partition_cols=("source",))
+    import pathlib
+
+    assert any(pathlib.Path(p).glob("source=*"))
+    assert read_table(spark, p).count() == 10
