@@ -44,11 +44,16 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None
     """
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
+    # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
+    # words must produce an empty shingle array (exploded away), matching
+    # SQL engines whose range(negative) is empty
     sh = words.select(
         "doc_id",
         F.explode(F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
             f"transform(sequence(0, size(w) - {n}), "
-            f"i -> concat_ws(' ', slice(w, i + 1, {n})))")).alias("shingle")
+            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+            f"ELSE array() END")).alias("shingle")
     ).distinct()
     if max_df is not None:
         hot = (sh.groupBy("shingle").count()

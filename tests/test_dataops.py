@@ -1,0 +1,106 @@
+"""Dataops unit tests on constructed edge-case documents (the oracle
+harness covers the main behavior on driver testdata)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma", "en", "s0", 40),
+        (2, "alpha beta gamma delta alpha beta gamma", "en", "s0", 40),  # dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta", "en", "s0", 40),  # near-dup
+        (4, "one two", "en", "s0", 7),                                   # < 3 words
+        (5, "x", "en", "s0", 1),                                         # 1 word
+        (6, "the cat and the dog of the house", "en", "s1", 30),
+        (7, "der hund und die katze ist das haus", "de", "s1", 35),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_finds_duplicates(spark, docs):
+    from nrt_spark.dataops.dedup import exact_dedup
+
+    res = exact_dedup(docs).toPandas()
+    assert (res["n_dupes"] == 2).sum() == 1
+    dup_row = res[res["n_dupes"] == 2].iloc[0]
+    assert dup_row["keep_doc_id"] == 1
+
+
+def test_short_docs_produce_no_shingles(spark, docs):
+    """sequence(0, negative) descends in Spark — the guard must yield
+    zero shingles for docs with fewer than n words."""
+    from nrt_spark.dataops.dedup import word_shingles
+
+    sh = word_shingles(docs, n=3).toPandas()
+    assert set(sh[sh["doc_id"].isin([4, 5])]["doc_id"]) == set()
+    assert (sh["doc_id"] == 1).sum() > 0
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    from nrt_spark.dataops.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2).toPandas()
+    assert ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)
+            & (pairs["jaccard"] == 1.0)).any()
+    near = pairs[(pairs["doc_a"].isin([1, 2])) & (pairs["doc_b"] == 3)]
+    assert len(near) == 2 and (near["jaccard"] < 1.0).all()
+
+
+def test_langid_markers(spark, docs):
+    from nrt_spark.dataops.textstats import language_id
+
+    pred = language_id(docs).toPandas().set_index("doc_id")["pred_lang"]
+    assert pred[6] == "en"
+    assert pred[7] == "de"
+    assert pred[1] == "und"  # no markers at all
+
+
+def test_minhash_identical_docs_collide_everywhere(spark, docs):
+    from nrt_spark.dataops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, n=3, num_hashes=8, band_size=2).toPandas()
+    full = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]
+    assert len(full) == 1 and full.iloc[0]["n_bands"] == 4
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    from nrt_spark.dataops.dedup import simhash16
+
+    fp = simhash16(docs).toPandas().set_index("doc_id")["simhash"]
+    assert fp[1] == fp[2]
+    d13 = bin(int(fp[1]) ^ int(fp[3])).count("1")
+    d17 = bin(int(fp[1]) ^ int(fp[7])).count("1")
+    assert d13 <= d17
+
+
+def test_multimodal_stub_raises_without_fake(spark, docs):
+    from nrt_spark.dataops.multimodal import docs_as_media, decode_features
+
+    media = docs_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("string")))
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_features(media, fake=False).collect()
+    feats = decode_features(media, dim=8, fake=True).toPandas()
+    assert len(feats) == 7 and all(len(f) == 8 for f in feats["features"])
+    # deterministic across runs
+    feats2 = decode_features(media, dim=8, fake=True).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    for x, y in zip(a["features"], b["features"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_frame_sample(spark, docs):
+    from nrt_spark.dataops.multimodal import docs_as_media, frame_sample
+
+    media = docs_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("string")))
+    fs = frame_sample(media.withColumn(
+        "meta", F.expr("named_struct('kind','video','width',64,'height',64,"
+                       "'sample_rate',CAST(NULL AS INT),'n_frames',10)")),
+        every_n=3)
+    assert fs.filter("media_id = '1'").count() == 4  # frames 0,3,6,9
