@@ -164,6 +164,39 @@ class NrtEngine:
             step_fn, STATE_SCHEMA)
 
     # ------------------------------------------------------------------
+    def monitor_obs(self, state_df: DataFrame, obs_df: DataFrame,
+                    update_mask: bool = True) -> DataFrame:
+        """Advance state with *long-form* observations
+        ``(doc_id string, ts timestamp | day int, value double)`` — the
+        shape incremental ingest delivers at scale (new acquisitions
+        arrive as points, not re-shipped full series).  Semantics are
+        identical to :meth:`monitor` (same kernels, same ``last_day``
+        late-data masking); shares its advance step with the streaming
+        operator."""
+        from nrt_spark.streaming import _advance
+
+        params = self.params
+        if "day" not in obs_df.columns:
+            obs_df = obs_df.withColumn(
+                "day", F.datediff("ts", F.lit("1970-01-01")))
+        obs = with_bucket(obs_df.select("doc_id", "day", "value"),
+                          self.num_buckets)
+
+        def step_fn(state_pdf: pd.DataFrame, obs_pdf: pd.DataFrame
+                    ) -> pd.DataFrame:
+            if not len(state_pdf):
+                return pd.DataFrame(columns=STATE_COLUMNS)
+            state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
+            if not len(obs_pdf):
+                return state_pdf[STATE_COLUMNS]
+            return _advance(state_pdf, obs_pdf.sort_values("day"), params,
+                            int(state_pdf["bucket"].iloc[0]),
+                            update_mask=update_mask)
+
+        return state_df.groupBy("bucket").cogroup(
+            obs.groupBy("bucket")).applyInPandas(step_fn, STATE_SCHEMA)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def report(state_df: DataFrame,
                layers: tuple = ("mask", "detection_date", "process")

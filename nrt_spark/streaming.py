@@ -57,7 +57,7 @@ def _load_bucket_state(state_path: str, bucket: int) -> pd.DataFrame | None:
 
 
 def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
-             bucket: int) -> pd.DataFrame:
+             bucket: int, update_mask: bool = True) -> pd.DataFrame:
     """Fold a micro-batch of (doc_id, day, value) through the monitor."""
     kstate = pdf_to_state(state_pdf)
     last_day = state_pdf["last_day"].to_numpy(dtype=np.int64)
@@ -72,7 +72,7 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
             y[day_pos[day], k] = val
     # late data behind each series' watermark -> NaN (skip semantics)
     y[days[:, None] <= last_day[None, :]] = np.nan
-    run_monitor(kstate, y, days, params)
+    run_monitor(kstate, y, days, params, update_mask=update_mask)
     new_last = np.maximum(last_day, int(days.max()) if len(days) else 0)
     return state_to_pdf(kstate, state_pdf["doc_id"].to_numpy(), bucket,
                         new_last)

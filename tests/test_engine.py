@@ -225,3 +225,21 @@ def test_catalog_backend_fallback(spark, tokens, tmp_path):
 
     assert any(pathlib.Path(p).glob("source=*"))
     assert read_table(spark, p).count() == 10
+
+
+def test_monitor_obs_long_form_equals_token_monitor(spark, tokens):
+    """Long-form incremental observations produce the exact same final
+    state as re-shipping full token arrays."""
+    from nrt_spark.tokens import decode_long
+    from pyspark.sql import functions as F
+
+    eng = NrtEngine(spark, "cusum", num_buckets=8, trend=False, method="OLS")
+    state0 = eng.fit(tokens, history_end=HISTORY_END).cache()
+    via_tokens = eng.monitor(state0, tokens).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    obs = decode_long(tokens).filter(F.col("ts") > HISTORY_END)
+    via_obs = eng.monitor_obs(state0, obs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for col in ["mask", "process", "boundary", "n", "detection_date"]:
+        np.testing.assert_array_equal(via_tokens[col].to_numpy(),
+                                      via_obs[col].to_numpy(), err_msg=col)
