@@ -66,12 +66,18 @@ def run_pipeline(spark) -> dict:
                      F.sum("n_bytes").alias("b")).collect()[0]
     wall = time.time() - t0
     total_points, total_bytes = int(row["p"]), int(row["b"])
+    # quantized-value codec on the day tier (scaled-int delta-of-delta;
+    # lossless for token-derived day means)
+    qrow = (rollup_compress_tokens(toks, tiers=("day",), int_scale=10000.0)
+            .agg(F.sum("n_points").alias("p"), F.sum("n_bytes").alias("b"))
+            .collect()[0])
     toks.unpersist()
     return {
         "wall_sec": round(wall, 3),
         "rolled_points": total_points,
         "rollup_points_per_sec": round(total_points / wall, 1),
         "bytes_per_point": round(total_bytes / total_points, 3),
+        "bytes_per_point_quantized": round(qrow["b"] / qrow["p"], 3),
     }
 
 

@@ -58,3 +58,27 @@ def test_fastpath_decodes_back(spark, tokens):
     # both NULL is a match; any one-sided NULL or value difference fails
     bad = j.filter("(rt IS NULL) <> (ov IS NULL) OR rt <> ov")
     assert bad.count() == 0
+
+
+def test_int_codec_day_tier_exact_and_small(spark, tokens):
+    """Day-tier means of token data are exact multiples of 1/SCALE (one
+    obs per day bucket), so the scaled-int codec is lossless there and
+    far smaller than float XOR."""
+    import numpy as np
+    from nrt_spark.fastpath import decode_means_int
+    from nrt_spark.tokens import SCALE
+
+    fx = rollup_compress_tokens(tokens, tiers=("day",), int_scale=SCALE) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    ff = rollup_compress_tokens(tokens, tiers=("day",)) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    # exact round-trip vs the float path's decoded means
+    from nrt_spark.gorilla import decode_values
+    for i in range(len(fx)):
+        vi = decode_means_int(bytes(fx["val_block"][i]), SCALE)
+        vf = decode_values(bytes(ff["val_block"][i]))
+        np.testing.assert_array_equal(np.isnan(vi), np.isnan(vf))
+        np.testing.assert_array_equal(vi[~np.isnan(vi)], vf[~np.isnan(vf)])
+    bpp_int = fx["n_bytes"].sum() / fx["n_points"].sum()
+    bpp_flt = ff["n_bytes"].sum() / ff["n_points"].sum()
+    assert bpp_int < bpp_flt / 2, (bpp_int, bpp_flt)
