@@ -107,6 +107,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "rolled_points": pipe["rolled_points"],
         "rollup_points_per_sec": pipe["rollup_points_per_sec"],
         "bytes_per_point": pipe["bytes_per_point"],
+        "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
     }
     spark.stop()
     return out
