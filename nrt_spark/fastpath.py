@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, types as T
 
 from nrt_spark.gorilla import encode_timestamps, encode_values
 from nrt_spark.tokens import GAP_TOKEN, SCALE, EPOCH_DAY, CADENCE_DAYS

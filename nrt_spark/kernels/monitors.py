@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nrt_spark.kernels.regressors import build_regressors, regressors_for_days
+from nrt_spark.kernels.regressors import regressors_for_days
 from nrt_spark.kernels.stats import nan_percentile_axis0
 from nrt_spark.kernels.fit import ols, rirls, ccdc_stable_fit, roc_stable_fit
 from nrt_spark.kernels.outliers import shewhart_screen, ccdc_rirls_screen

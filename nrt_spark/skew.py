@@ -13,7 +13,7 @@ sizes if doc_ids were ever hot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def with_salt(df: DataFrame, salts: int, key: str = "doc_id") -> DataFrame:
