@@ -151,6 +151,51 @@ def run_fit_bench(cores: int, n_docs: int = 3000) -> dict:
     return out
 
 
+def run_single_node_compare(cores: int = 8, n_docs: int = 50000) -> dict:
+    """Distributed engine vs the single-process numpy oracle on the SAME
+    fit+monitor workload (the 'matches-or-beats single-node throughput'
+    evidence; the reference itself cannot run here — no numba/xarray in
+    the container — so the oracle, which implements identical semantics
+    over the same (M, K) vectorization axis, is the single-node stand-in).
+    """
+    import numpy as np
+    from nrt_spark.session import get_spark
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+    from nrt_spark.kernels.monitors import fit_state, resolve_params, \
+        run_monitor
+    from nrt_spark.tokens import grid_days, tokens_to_matrix
+
+    spark = get_spark(cores=cores, app_name="single_node_cmp")
+    toks = generate_tokens(spark, n_docs, n_obs=N_OBS,
+                           partitions=cores).persist()
+    toks.count()
+    eng = NrtEngine(spark, "ewma", num_buckets=cores, trend=False)
+    # warm python workers so the comparison measures compute
+    eng.fit(toks.limit(64), history_end="2016-05-10").count()
+    t0 = time.time()
+    state = eng.fit(toks, history_end="2016-05-10")
+    eng.monitor(state, toks).count()
+    t_engine = time.time() - t0
+
+    pdf = toks.toPandas()
+    t0 = time.time()
+    params = resolve_params("ewma", trend=False)
+    y = tokens_to_matrix(list(pdf["tokens"]))
+    days = grid_days(N_OBS)
+    he = int(np.datetime64("2016-05-10", "D").astype(int))
+    st = fit_state(y[days <= he], days[days <= he], params)
+    run_monitor(st, y[days > he], days[days > he], params)
+    t_oracle = time.time() - t0
+    spark.stop()
+    return {
+        "n_docs": n_docs, "cores": cores,
+        "engine_fit_monitor_sec": round(t_engine, 2),
+        "single_node_oracle_sec": round(t_oracle, 2),
+        "speedup_vs_single_node": round(t_oracle / t_engine, 2),
+    }
+
+
 def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
     """The north-rule evidence: the same job at local[N] and local[4N]
     in fresh JVMs over the same input.
@@ -193,11 +238,14 @@ if __name__ == "__main__":
                     help="scaling pair is local[N] vs local[4N]")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fit-bench", action="store_true")
+    ap.add_argument("--single-node", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, n=args.scale_n)))
     elif args.fit_bench:
         print(json.dumps(run_fit_bench(args.cores)))
+    elif args.single_node:
+        print(json.dumps(run_single_node_compare(args.cores)))
     else:
         print(json.dumps(run_bench(args.cores, args.sf_dir,
                                    include_queries=not args.pipeline_only)))

@@ -45,15 +45,17 @@ def state_to_pdf(state: dict, doc_ids, bucket: int, last_day: np.ndarray
     beta = state["beta"]           # (n_coef, K)
     window = state["window"]       # (D, K)
     winsize = state["winsize"]
-    rows_window = [
-        window[: int(winsize[k]), k].tolist() if winsize[k] > 0 else []
-        for k in range(K)
-    ]
+    if window.shape[0] == 0 or not (winsize > 0).any():
+        rows_window = [[]] * K
+    else:
+        win_cols = window.T.tolist()          # one C-level conversion
+        rows_window = [win_cols[k][: int(winsize[k])] if winsize[k] > 0
+                       else [] for k in range(K)]
     return pd.DataFrame({
         "doc_id": np.asarray(doc_ids),
         "bucket": np.full(K, bucket, dtype=np.int32),
         "mask": state["mask"].astype(np.int8),
-        "beta": [beta[:, k].tolist() for k in range(K)],
+        "beta": beta.T.tolist(),              # (K, n_coef) nested lists
         "process": state["process"].astype(np.float64),
         "boundary": state["boundary"].astype(np.float64),
         "sigma": state["sigma"].astype(np.float64),
