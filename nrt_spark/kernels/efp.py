@@ -172,18 +172,33 @@ def cusum_ols_test_crit(alpha: float) -> float:
     return 0.5 * (lo + hi)
 
 
-#: Vendored OLS-MOSUM critical values (strucchange/bfast "monitorMECritval"
-#: grid).  The reference reads the full table from the external nrt-data
-#: package (``utils_efp.py:145-166``); here only the grid points exercised
-#: by the engine's defaults are vendored.  The (h=0.25, period=10,
-#: functional='max', sig=0.95) entry is derived from the reference's golden
-#: monitoring output (``tests/unit_tests/data/mosum_result.csv``:
-#: boundary/sqrt(2) = 1.89762642047451/sqrt(2)).
-_MOSUM_SIG_LEVELS = (0.95,)
+#: Vendored OLS-MOSUM critical values for the 'max' functional over the
+#: full (h, period) grid the reference validates (utils_efp.py:145-166;
+#: the reference reads strucchange's table from the external nrt-data
+#: package).  Values regenerated by Monte Carlo from the published limit
+#: process (tools/gen_mosum_crit.py; N=1000 steps/history, 60k sims,
+#: ~0.5% MC+discretization error).  The (h=0.25, period=10, sig=0.95)
+#: point is pinned to the exact value implied by the reference's golden
+#: monitoring output (mosum_result.csv: boundary/sqrt(2)); the MC value
+#: for that point (1.3374) validates the simulation.  Only the h=0.25
+#: column is externally cross-checked; 'range' functional not vendored.
+_MOSUM_SIG_LEVELS = (0.95, 0.99, 0.999)
 _MOSUM_CRIT = {
-    ("0.25", "10", "max"): (1.3418245104483406,),
-    ("0.5", "10", "max"): (1.185891,),   # approximate placeholder, see note
-    ("1", "10", "max"): (1.056728,),     # approximate placeholder, see note
+    ("0.25", "2", "max"): (1.2219, 1.4225, 1.6709),
+    ("0.25", "4", "max"): (1.3301, 1.5178, 1.7479),
+    ("0.25", "6", "max"): (1.3347, 1.514, 1.7505),
+    ("0.25", "8", "max"): (1.3373, 1.5165, 1.7526),
+    ("0.25", "10", "max"): (1.3418245104483406, 1.5148, 1.7451),
+    ("0.5", "2", "max"): (1.6709, 2.0103, 2.4173),
+    ("0.5", "4", "max"): (1.8813, 2.1979, 2.5674),
+    ("0.5", "6", "max"): (1.893, 2.1997, 2.5817),
+    ("0.5", "8", "max"): (1.8964, 2.1955, 2.5754),
+    ("0.5", "10", "max"): (1.9007, 2.2032, 2.5464),
+    ("1", "2", "max"): (2.2186, 2.7469, 3.4488),
+    ("1", "4", "max"): (2.6897, 3.2481, 3.8769),
+    ("1", "6", "max"): (2.7206, 3.2681, 3.9152),
+    ("1", "8", "max"): (2.73, 3.2578, 3.9291),
+    ("1", "10", "max"): (2.7479, 3.2669, 3.8341),
 }
 
 

@@ -73,3 +73,17 @@ def test_recresid_golden(romania, ref_data_dir):
         g = golden[keep, k]
         # strucchange starts reporting at index span (0-based span offset)
         np.testing.assert_allclose(rr[span:], g[span:], rtol=5e-3, atol=1e-8)
+
+
+def test_mosum_crit_full_grid():
+    """The MC-generated grid: monotone in h and alpha, pinned golden
+    point exact, all 15 (h, period) combos served."""
+    for h in (0.25, 0.5, 1):
+        for period in (2, 4, 6, 8, 10):
+            c05 = efp.mosum_ols_test_crit(0.05, h=h, period=period)
+            c001 = efp.mosum_ols_test_crit(0.001, h=h, period=period)
+            assert 0 < c05 < c001 < 5
+    # crit grows with window fraction h (wider window -> larger variance)
+    assert (efp.mosum_ols_test_crit(0.05, h=0.25, period=10)
+            < efp.mosum_ols_test_crit(0.05, h=0.5, period=10)
+            < efp.mosum_ols_test_crit(0.05, h=1, period=10))
