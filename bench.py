@@ -171,28 +171,54 @@ def run_single_node_compare(cores: int = 8, n_docs: int = 50000) -> dict:
                            partitions=cores).persist()
     toks.count()
     eng = NrtEngine(spark, "ewma", num_buckets=cores, trend=False)
-    # warm python workers so the comparison measures compute
-    eng.fit(toks.limit(64), history_end="2016-05-10").count()
-    t0 = time.time()
-    state = eng.fit(toks, history_end="2016-05-10")
-    eng.monitor(state, toks).count()
-    t_engine = time.time() - t0
-
-    pdf = toks.toPandas()
-    t0 = time.time()
-    params = resolve_params("ewma", trend=False)
-    y = tokens_to_matrix(list(pdf["tokens"]))
-    days = grid_days(N_OBS)
-    he = int(np.datetime64("2016-05-10", "D").astype(int))
-    st = fit_state(y[days <= he], days[days <= he], params)
-    run_monitor(st, y[days > he], days[days > he], params)
-    t_oracle = time.time() - t0
+    # steady-state: first run pays python-worker/codegen warmup; the
+    # host is noisy (identical runs vary ~3x), so take best-of-3
+    eng.fit_monitor(toks, history_end="2016-05-10").count()
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        eng.fit_monitor(toks, history_end="2016-05-10").count()
+        runs.append(time.time() - t0)
+    t_engine = min(runs)
     spark.stop()
+
+    # single-node oracle in a FRESH process so BLAS threading is honest:
+    # once with the same core budget (fair same-resources comparison) and
+    # once single-threaded (per-core efficiency reference)
+    oracle_code = f"""
+import time, numpy as np
+from nrt_spark.kernels.monitors import fit_state, resolve_params, run_monitor
+from nrt_spark.tokens import grid_days, tokens_to_matrix
+rng = np.random.RandomState(0)
+toks = [rng.randint(0, 10000, {N_OBS}).astype(np.int32)
+        for _ in range({n_docs})]
+days = grid_days({N_OBS})
+he = int(np.datetime64("2016-05-10", "D").astype(int))
+params = resolve_params("ewma", trend=False)
+t0 = time.time()
+y = tokens_to_matrix(toks)
+st = fit_state(y[days <= he], days[days <= he], params)
+run_monitor(st, y[days > he], days[days > he], params)
+print(time.time() - t0)
+"""
+    times = {}
+    for label, blas in (("equal_cores", cores), ("one_thread", 1)):
+        env = dict(os.environ, OPENBLAS_NUM_THREADS=str(blas),
+                   MKL_NUM_THREADS=str(blas))
+        best = []
+        for _ in range(3):
+            r = subprocess.run([sys.executable, "-c", oracle_code], env=env,
+                               capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            best.append(float(r.stdout.strip().splitlines()[-1]))
+        times[label] = min(best)
     return {
         "n_docs": n_docs, "cores": cores,
         "engine_fit_monitor_sec": round(t_engine, 2),
-        "single_node_oracle_sec": round(t_oracle, 2),
-        "speedup_vs_single_node": round(t_oracle / t_engine, 2),
+        "single_node_equal_cores_sec": round(times["equal_cores"], 2),
+        "single_node_one_thread_sec": round(times["one_thread"], 2),
+        "speedup_vs_equal_cores": round(times["equal_cores"] / t_engine, 2),
+        "speedup_vs_one_thread": round(times["one_thread"] / t_engine, 2),
     }
 
 

@@ -113,6 +113,41 @@ class NrtEngine:
         return bucketed.groupBy("bucket").applyInPandas(fit_fn, STATE_SCHEMA)
 
     # ------------------------------------------------------------------
+    def fit_monitor(self, tokens_df: DataFrame, history_end: str,
+                    update_mask: bool = True) -> DataFrame:
+        """Fit on the history window and monitor the remainder in ONE
+        grouped pass (one shuffle, one UDF invocation per bucket).
+
+        Equivalent to ``monitor(fit(tokens, history_end), tokens)`` —
+        verified byte-exact in tests — but with half the shuffles; use it
+        whenever the series' full extent is already in hand (bulk
+        backfill/reprocessing).  The two-phase path remains for
+        incremental arrivals.
+        """
+        params = self.params
+        he_day = _day_number(history_end)
+        if he_day is None:
+            raise ValueError("history_end is required for fit_monitor")
+
+        def fm_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame(columns=STATE_COLUMNS)
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            y = tokens_to_matrix(list(pdf["tokens"]))
+            days = grid_days(y.shape[0])
+            hist = days <= he_day
+            state = fit_state(y[hist], days[hist], params)
+            run_monitor(state, y[~hist], days[~hist], params,
+                        update_mask=update_mask)
+            last = np.full(len(pdf), int(days[-1]) if len(days) else 0)
+            return state_to_pdf(state, pdf["doc_id"].to_numpy(),
+                                int(pdf["bucket"].iloc[0]), last)
+
+        bucketed = with_bucket(tokens_df.select("doc_id", "tokens"),
+                               self.num_buckets)
+        return bucketed.groupBy("bucket").applyInPandas(fm_fn, STATE_SCHEMA)
+
+    # ------------------------------------------------------------------
     def monitor(self, state_df: DataFrame, tokens_df: DataFrame,
                 update_mask: bool = True) -> DataFrame:
         """Advance state with all observations newer than each series'

@@ -243,3 +243,15 @@ def test_monitor_obs_long_form_equals_token_monitor(spark, tokens):
     for col in ["mask", "process", "boundary", "n", "detection_date"]:
         np.testing.assert_array_equal(via_tokens[col].to_numpy(),
                                       via_obs[col].to_numpy(), err_msg=col)
+
+
+def test_fit_monitor_single_pass_equals_two_phase(spark, tokens):
+    eng = NrtEngine(spark, "cusum", num_buckets=8, trend=False, method="OLS")
+    two = eng.monitor(eng.fit(tokens, history_end=HISTORY_END), tokens) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    one = eng.fit_monitor(tokens, history_end=HISTORY_END) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ["mask", "process", "boundary", "n", "detection_date",
+                "last_day", "histsize", "sigma"]:
+        np.testing.assert_array_equal(two[col].to_numpy(),
+                                      one[col].to_numpy(), err_msg=col)
