@@ -325,6 +325,23 @@ def events_rollup_week(spark, sf_dir):
     )
 
 
+@q("events_rollup_month", """
+SELECT user_id, date_trunc('month', ts)::DATE AS month,
+       count(value) AS n, round(avg(value), 6) AS mean,
+       round(max_by(value, ts), 4) AS last
+FROM events GROUP BY user_id, date_trunc('month', ts)::DATE
+""")
+def events_rollup_month(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id",
+                   F.date_trunc("month", "ts").cast("date").alias("month"))
+        .agg(F.count("value").alias("n"),
+             F.round(F.avg("value"), 6).alias("mean"),
+             F.round(F.max_by("value", "ts"), 4).alias("last"))
+    )
+
+
 @q("events_gapfill_day", """
 WITH day AS (
   SELECT user_id, date_trunc('day', ts)::DATE AS day,

@@ -88,6 +88,55 @@ def _report_rows(state_pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def rollup_stream(obs_stream, tier: str = "day",
+                  watermark: str = "3 days"):
+    """Streaming continuous aggregate: tumbling-window tier rollup with
+    a watermark for late data.
+
+    The streaming twin of ``rollup.rollup_raw``: per (doc_id, window)
+    count/sum/min/max over event time; rows later than ``watermark``
+    behind the max seen event time are dropped (bounded state — the
+    requirement for running this over an unbounded acquisition stream).
+    ``last``/``mean`` finalization happens on read (max_by is not
+    streaming-aggregatable; mean = vsum/n is a projection).
+
+    Args:
+        obs_stream: streaming DataFrame (doc_id string, ts timestamp,
+            value double).
+        tier: day/week/month (rollup.TIERS key).
+        watermark: late-data horizon, e.g. "3 days".
+
+    Returns:
+        streaming DataFrame (doc_id, bucket_start, n, vsum, vmin, vmax,
+        mean); use outputMode "update" (or "append" to emit only
+        watermark-finalized buckets).
+    """
+    from pyspark.sql import functions as F
+
+    # tumbling windows are fixed-length: day/week only (calendar months
+    # are variable-length — month tier stays a batch rollup).  The week
+    # window gets a +4d phase so buckets start on ISO Mondays like
+    # date_trunc('week') (epoch day 0 was a Thursday).
+    if tier == "day":
+        win, start = "1 day", "0 seconds"
+    elif tier == "week":
+        win, start = "7 days", "4 days"
+    else:
+        raise ValueError("rollup_stream supports day/week tiers "
+                         "(calendar months are variable-length)")
+    agg = (
+        obs_stream.withWatermark("ts", watermark)
+        .groupBy("doc_id", F.window("ts", win, win, start).alias("w"))
+        .agg(F.count("value").alias("n"),
+             F.sum("value").alias("vsum"),
+             F.min("value").alias("vmin"),
+             F.max("value").alias("vmax"))
+    )
+    return agg.select(
+        "doc_id", F.col("w.start").alias("bucket_start"), "n", "vsum",
+        "vmin", "vmax", (F.col("vsum") / F.col("n")).alias("mean"))
+
+
 def monitor_stream(obs_stream, state_path: str, params: dict,
                    num_buckets: int):
     """Wire a streaming observation source to the stateful monitor.

@@ -76,3 +76,56 @@ def test_stream_matches_batch(spark, setup):
     np.testing.assert_array_equal(
         got["detection_date"].to_numpy(dtype=np.int64),
         want["detection_date"].to_numpy(dtype=np.int64))
+
+
+@pytest.mark.parametrize("tier", ["day", "week"])
+def test_rollup_stream_matches_batch(spark, setup, tier):
+    """Streaming tumbling-window rollup (with watermark) lands on the
+    batch tier exactly — including week buckets aligned to ISO Mondays."""
+    import pandas as pd
+    from nrt_spark.streaming import rollup_stream
+    from nrt_spark.rollup import rollup_raw
+
+    toks, eng, state0, obs, src, tmp = setup
+    long_src = tmp / f"roll_src_{tier}"
+    long_df = decode_long(toks).select("doc_id", "ts", "value")
+    long_df.coalesce(2).write.parquet(str(long_src))
+
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .parquet(str(long_src)))
+    out = rollup_stream(stream, tier=tier, watermark="10 days")
+    q = (out.writeStream.format("memory").queryName(f"roll_{tier}")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp / f"roll_ck_{tier}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = (spark.sql(f"SELECT doc_id, bucket_start, n, mean, vmin, vmax "
+                     f"FROM roll_{tier}")
+           .toPandas().sort_values(["doc_id", "bucket_start"])
+           .reset_index(drop=True))
+    want = (rollup_raw(long_df, tier)
+            .select("doc_id", "bucket_start", "n", "mean", "vmin", "vmax")
+            .toPandas().sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(
+        got["bucket_start"].to_numpy(), want["bucket_start"].to_numpy())
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    np.testing.assert_allclose(
+        got["mean"].to_numpy(dtype=float), want["mean"].to_numpy(dtype=float),
+        rtol=1e-12, equal_nan=True)
+
+
+def test_rollup_stream_rejects_month(spark, setup):
+    from nrt_spark.streaming import rollup_stream
+
+    toks, eng, state0, obs, src, tmp = setup
+    empty = tmp / "empty_src"
+    empty.mkdir(exist_ok=True)
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .parquet(str(empty)))
+    with pytest.raises(ValueError, match="day/week"):
+        rollup_stream(stream, tier="month")
