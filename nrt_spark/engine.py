@@ -66,6 +66,26 @@ class NrtEngine:
         self.num_buckets = int(num_buckets)
         self.params = resolve_params(monitor, **params)
 
+    @staticmethod
+    def auto_buckets(tokens_df: DataFrame, n_obs: int = 130,
+                     target_group_mb: int = 256,
+                     parallelism: int | None = None) -> int:
+        """Pick a bucket count so each grouped-UDF call holds a
+        comfortably-sized (M, K) matrix.
+
+        Sizing rule: K_per_bucket ~ target_group_mb / (n_obs * 8 bytes *
+        ~4x working-set factor), rounded so buckets >= 2x parallelism
+        (keeps every core busy and AQE happy).  At 10^12 series this
+        lands around 2^20 buckets — set once and baked into the Iceberg
+        table's bucket(doc_id) partition transform.
+        """
+        n_docs = tokens_df.count()
+        bytes_per_doc = n_obs * 8 * 4
+        docs_per_bucket = max(1, (target_group_mb << 20) // bytes_per_doc)
+        p = parallelism or tokens_df.sparkSession.sparkContext \
+            .defaultParallelism
+        return max(2 * p, -(-n_docs // docs_per_bucket))
+
     # ------------------------------------------------------------------
     def fit(self, tokens_df: DataFrame, history_end: str | None = None
             ) -> DataFrame:

@@ -255,3 +255,11 @@ def test_fit_monitor_single_pass_equals_two_phase(spark, tokens):
                 "last_day", "histsize", "sigma"]:
         np.testing.assert_array_equal(two[col].to_numpy(),
                                       one[col].to_numpy(), err_msg=col)
+
+
+def test_auto_buckets(spark, tokens):
+    b = NrtEngine.auto_buckets(tokens, n_obs=N_OBS)
+    # small table -> floor at 2x parallelism
+    assert b == 2 * spark.sparkContext.defaultParallelism
+    eng = NrtEngine(spark, "ewma", num_buckets=b, trend=False)
+    assert eng.fit(tokens, history_end=HISTORY_END).count() == N_DOCS
