@@ -325,6 +325,59 @@ def events_rollup_week(spark, sf_dir):
     )
 
 
+@q("events_interarrival", """
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT user_id, count(gap_s) AS n_gaps,
+       round(avg(gap_s), 2) AS mean_gap_s,
+       round(max(gap_s), 2) AS max_gap_s
+FROM gaps GROUP BY user_id
+""")
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival statistics via lag() — the W7 ordered-ingest
+    diagnostic (revisit-cadence monitoring)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn("gap_s", (us - F.lag(us).over(w)) / 1e6)
+    return (gaps.groupBy("user_id")
+            .agg(F.count("gap_s").alias("n_gaps"),
+                 F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+                 F.round(F.max("gap_s"), 2).alias("max_gap_s")))
+
+
+@q("dedup_edit_distance", """
+WITH p AS (
+  SELECT doc_id, lang, substr(text, 1, 30) AS prefix, n_chars % 5 AS b
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS dist
+FROM p a JOIN p b ON a.lang = b.lang AND a.b = b.b AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 12
+""")
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup pairs on document prefixes, blocked by
+    (lang, length-band) to bound the pair count (classic DP levenshtein
+    computes identically in any engine)."""
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 30).alias("prefix"),
+        (F.col("n_chars") % 5).alias("b"))
+    a = p.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
+                 F.col("prefix").alias("pa"), F.col("b").alias("ba"))
+    bb = p.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
+                  F.col("prefix").alias("pb"), F.col("b").alias("bb"))
+    return (a.join(bb, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
+                   & (F.col("doc_a") < F.col("doc_b")))
+            .withColumn("dist", F.levenshtein("pa", "pb"))
+            .filter(F.col("dist") <= 12)
+            .select("doc_a", "doc_b", "dist"))
+
+
 @q("events_rollup_month", """
 SELECT user_id, date_trunc('month', ts)::DATE AS month,
        count(value) AS n, round(avg(value), 6) AS mean,

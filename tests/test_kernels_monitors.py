@@ -141,3 +141,17 @@ def test_halt_after_break():
     np.testing.assert_array_equal(state["detection_date"][already & (det0 > 0)],
                                   det0[already & (det0 > 0)])
     np.testing.assert_array_equal(state["process"][det0 > 0], proc0[det0 > 0])
+
+
+def test_update_mask_false_keeps_monitoring():
+    """update_mask=False (reference __init__.py:100-104): boundary
+    crossings neither flip mask to 3 nor stamp detection_date, and the
+    process keeps updating past the crossing."""
+    y, days, broken = _synthetic_batch()
+    params = mon.resolve_params("ewma", **MONITOR_TEST_OVERRIDES["ewma"])
+    state = mon.fit_state(y[:100], days[:100], params)
+    mon.run_monitor(state, y[100:], days[100:], params, update_mask=False)
+    assert (state["mask"] == mon.MASK_MONITORED).all()
+    assert (state["detection_date"] == 0).all()
+    # broken series' process reflects the post-break level (kept updating)
+    assert (np.abs(state["process"][broken]) > state["boundary"][broken]).all()
