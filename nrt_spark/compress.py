@@ -15,7 +15,7 @@ from nrt_spark.gorilla import (
     decode_timestamps,
     decode_values,
     encode_timestamps,
-    encode_values,
+    encode_values_fast,
 )
 
 _BLOCK_SCHEMA = "ts_block binary, val_block binary, n_points int"
@@ -40,7 +40,7 @@ def _compress_udf():
                 secs = np.asarray(secs, dtype=np.int64)
                 vals = np.asarray(vals, dtype=np.float64)
                 ts_blocks.append(encode_timestamps(secs))
-                val_blocks.append(encode_values(vals))
+                val_blocks.append(encode_values_fast(vals))
                 ns.append(len(secs))
             return pd.DataFrame({"ts_block": ts_blocks,
                                  "val_block": val_blocks, "n_points": ns})

@@ -73,6 +73,41 @@ def _tier_points(days: np.ndarray, values: np.ndarray, tier: str):
     return bucket_days, means
 
 
+def _tier_points_batch(days: np.ndarray, values: np.ndarray,
+                       doc_lens: np.ndarray, tier: str):
+    """Batched :func:`_tier_points` over the concatenation of many docs.
+
+    Args:
+        days/values: concatenated per-doc arrays (each doc's days
+            ascending).
+        doc_lens: per-doc element counts.
+
+    Returns:
+        (block_lens, bucket_days_cat, means_cat): per-doc bucket counts
+        plus the concatenated bucket streams, same fold semantics as the
+        per-doc version (np.bincount = sequential in input order).
+    """
+    from nrt_spark.gorilla import _seg_arange  # segmented arange helper
+
+    starts = _bucket_starts(days, tier)
+    doc_of = np.repeat(np.arange(len(doc_lens)), doc_lens)
+    new_seg = np.empty(len(starts), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (np.diff(starts) != 0) | (np.diff(doc_of) != 0)
+    seg = np.cumsum(new_seg) - 1
+    nseg = int(seg[-1]) + 1 if len(seg) else 0
+    bucket_days = starts[new_seg]
+    valid = ~np.isnan(values)
+    sums = np.bincount(seg, weights=np.where(valid, values, 0.0),
+                       minlength=nseg)
+    cnts = np.bincount(seg, weights=valid.astype(np.float64),
+                       minlength=nseg)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = np.where(cnts > 0, sums / cnts, np.nan)
+    block_lens = np.bincount(doc_of[new_seg], minlength=len(doc_lens))
+    return block_lens, bucket_days, means
+
+
 #: sentinel for NaN means in the integer codec (far outside any real
 #: scaled value)
 INT_NAN_SENTINEL = -(1 << 40)
@@ -110,30 +145,44 @@ def rollup_compress_tokens(tokens_df: DataFrame,
     tiers = tuple(tiers)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nrt_spark.gorilla import (_seg_arange, encode_int_streams,
+                                       encode_float_streams)
+
         for pdf in batches:
+            tok_arrays = [np.asarray(t, dtype=np.float64)
+                          for t in pdf["tokens"]]
+            keep = [i for i, t in enumerate(tok_arrays) if len(t)]
+            if not keep:
+                yield pd.DataFrame({k: [] for k in (
+                    "doc_id", "tier", "n_points", "ts_block", "val_block",
+                    "n_bytes")})
+                continue
+            docs = pdf["doc_id"].to_numpy()[keep]
+            doc_lens = np.array([len(tok_arrays[i]) for i in keep])
+            toks = np.concatenate([tok_arrays[i] for i in keep])
+            values = np.where(toks == GAP_TOKEN, np.nan, toks / SCALE)
+            days = EPOCH_DAY + CADENCE_DAYS * _seg_arange(doc_lens)
             out = {k: [] for k in ("doc_id", "tier", "n_points",
                                    "ts_block", "val_block", "n_bytes")}
-            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                toks = np.asarray(toks, dtype=np.float64)
-                if not len(toks):
-                    continue
-                values = np.where(toks == GAP_TOKEN, np.nan, toks / SCALE)
-                days = EPOCH_DAY + CADENCE_DAYS * np.arange(len(toks),
-                                                            dtype=np.int64)
-                for tier in tiers:
-                    bdays, means = _tier_points(days, values, tier)
-                    secs = bdays * 86400
-                    tb = encode_timestamps(secs)
-                    if int_scale is None:
-                        vb = encode_values(means)
-                    else:
-                        vb = encode_means_int(means, int_scale)
-                    out["doc_id"].append(doc_id)
-                    out["tier"].append(tier)
-                    out["n_points"].append(len(bdays))
-                    out["ts_block"].append(tb)
-                    out["val_block"].append(vb)
-                    out["n_bytes"].append(len(tb) + len(vb))
+            for tier in tiers:
+                block_lens, bdays, means = _tier_points_batch(
+                    days, values, doc_lens, tier)
+                splits = np.cumsum(block_lens)[:-1]
+                ts_streams = np.split(bdays * 86400, splits)
+                if int_scale is None:
+                    vbs = encode_float_streams(np.split(means, splits))
+                else:
+                    ints = np.where(np.isnan(means), INT_NAN_SENTINEL,
+                                    np.rint(np.nan_to_num(means) * int_scale)
+                                    ).astype(np.int64)
+                    vbs = encode_int_streams(np.split(ints, splits))
+                tbs = encode_int_streams(ts_streams)
+                out["doc_id"] += list(docs)
+                out["tier"] += [tier] * len(tbs)
+                out["n_points"] += [int(x) for x in block_lens]
+                out["ts_block"] += tbs
+                out["val_block"] += vbs
+                out["n_bytes"] += [len(a) + len(b) for a, b in zip(tbs, vbs)]
             yield pd.DataFrame(out)
 
     return tokens_df.select("doc_id", "tokens").mapInPandas(

@@ -227,16 +227,21 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
 
 
 def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> bytes:
-    """Concatenate variable-width big-endian bit fields (vectorized)."""
-    vals = vals.astype(np.uint64)
+    """Concatenate variable-width big-endian bit fields (vectorized).
+
+    The dense bit matrix comes from ``unpackbits`` over the big-endian
+    byte view — NOT a broadcast uint64 shift, which this host's numpy
+    executes through a ~3M ops/s fallback loop (measured; see BENCH.md
+    host notes)."""
     widths = widths.astype(np.int64)
-    wmax = int(widths.max()) if len(widths) else 0
-    if wmax == 0:
+    if not len(widths) or int(widths.max()) == 0:
         return b""
-    shifts = np.arange(wmax - 1, -1, -1, dtype=np.uint64)
-    # bit j (MSB-first within each field) of each value
-    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    keep = shifts[None, :] < widths[:, None].astype(np.uint64)
+    # (N, 64) bit matrix, MSB-first per field
+    bits = np.unpackbits(
+        np.ascontiguousarray(vals.astype(">u8")).view(np.uint8)
+    ).reshape(len(vals), 64)
+    pos = np.arange(63, -1, -1, dtype=np.int64)   # bit significance
+    keep = pos[None, :] < widths[:, None]
     flat = bits[keep]  # row-major -> fields in order, MSB-first
     return np.packbits(flat).tobytes()
 
@@ -325,6 +330,195 @@ def encode_timestamps_fast(ts: np.ndarray) -> bytes:
     widths[4::2] = pay_w
     keep = widths > 0
     return _pack_fields(vals[keep], widths[keep])
+
+
+# ---------------------------------------------------------------------------
+# Batched encoders (hottest path)
+#
+# Per-block numpy calls still pay ~30 ufunc dispatches per 130-point
+# block; these encode EVERY block of an Arrow batch in one set of numpy
+# passes (fields for all blocks -> one packbits -> slice per block).
+# Byte-compatible with the shared decoders; value blocks use the same
+# static per-block XOR window as encode_values_fast.
+# ---------------------------------------------------------------------------
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for segment sizes ``counts``."""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(int(ends[-1]) if len(ends) else 0) \
+        - np.repeat(starts, counts)
+
+
+def _pack_fields_multi(vals: np.ndarray, widths: np.ndarray,
+                       field_counts: np.ndarray) -> list[bytes]:
+    """Pack consecutive per-block field runs into per-block byte blobs
+    (each block zero-padded to a byte boundary), with ONE packbits."""
+    nb = len(field_counts)
+    if nb == 0:
+        return []
+    f_ends = np.cumsum(field_counts)
+    f_starts = f_ends - field_counts
+    bit_ends = np.cumsum(widths)
+    blk_bit_end = bit_ends[f_ends - 1]
+    blk_bits = np.diff(np.concatenate(([0], blk_bit_end)))
+    pads = (-blk_bits) % 8
+    # interleave one pad field after each block
+    N = len(vals)
+    shift = np.repeat(np.arange(nb), field_counts)
+    out_vals = np.zeros(N + nb, dtype=np.uint64)
+    out_w = np.zeros(N + nb, dtype=np.int64)
+    dest = np.arange(N) + shift
+    out_vals[dest] = vals
+    out_w[dest] = widths
+    pad_pos = f_ends + np.arange(nb)
+    out_w[pad_pos] = pads
+    blob = _pack_fields(out_vals, out_w)
+    byte_lens = ((blk_bits + pads) // 8).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(byte_lens)))
+    return [blob[offs[b]:offs[b + 1]] for b in range(nb)]
+
+
+def encode_int_streams(streams: list) -> list[bytes]:
+    """Batched delta-of-delta encoder: one numpy pass over all blocks.
+    Byte-identical to per-block :func:`encode_timestamps`."""
+    out: list[bytes | None] = [None] * len(streams)
+    big_idx = [i for i, s in enumerate(streams) if len(s) >= 3]
+    for i, s in enumerate(streams):
+        if len(s) < 3:
+            out[i] = encode_timestamps(np.asarray(s, dtype=np.int64))
+    if not big_idx:
+        return out  # type: ignore[return-value]
+    blocks = [np.asarray(streams[i], dtype=np.int64) for i in big_idx]
+    L = np.array([len(b) for b in blocks])
+    nb = len(blocks)
+    allv = np.concatenate(blocks)
+    intra = _seg_arange(L)
+    not_first = intra > 0
+    deltas = np.empty(len(allv), dtype=np.int64)
+    deltas[1:] = allv[1:] - allv[:-1]       # garbage at block firsts, masked
+    starts = np.cumsum(L) - L
+    delta0 = deltas[starts + 1]
+    # dods: per block elements 2..L-1
+    is_dod = intra >= 2
+    dods = np.zeros(len(allv), dtype=np.int64)
+    dods[2:] = deltas[2:] - deltas[1:-1]
+    D = dods[is_dod]
+    m = L - 2                                # dods per block
+    # classify
+    ctrl = np.zeros(len(D), dtype=np.uint64)
+    ctrl_w = np.ones(len(D), dtype=np.int64)
+    pay = np.zeros(len(D), dtype=np.uint64)
+    pay_w = np.zeros(len(D), dtype=np.int64)
+    rem = D != 0
+    for nbits, prefix, plen, lo, hi in _DOD_RANGES:
+        sel = rem & (D >= lo) & (D <= hi)
+        ctrl[sel] = prefix
+        ctrl_w[sel] = plen
+        pay[sel] = (D[sel] - lo).astype(np.uint64)
+        pay_w[sel] = nbits
+        rem &= ~sel
+    ctrl[rem] = 0b1111
+    ctrl_w[rem] = 4
+    pay[rem] = D[rem].astype(np.uint64)
+    pay_w[rem] = 64
+    # assemble fields: per block 3 headers + 2 per dod
+    fcounts = 3 + 2 * m
+    f_starts = np.cumsum(fcounts) - fcounts
+    total_f = int(fcounts.sum())
+    vals = np.zeros(total_f, dtype=np.uint64)
+    widths = np.zeros(total_f, dtype=np.int64)
+    vals[f_starts] = L.astype(np.uint64)
+    widths[f_starts] = 32
+    vals[f_starts + 1] = allv[starts].astype(np.uint64)
+    widths[f_starts + 1] = 64
+    vals[f_starts + 2] = delta0.astype(np.uint64)
+    widths[f_starts + 2] = 64
+    dod_intra = _seg_arange(m)
+    dod_pos = np.repeat(f_starts + 3, m) + 2 * dod_intra
+    vals[dod_pos] = ctrl
+    widths[dod_pos] = ctrl_w
+    vals[dod_pos + 1] = pay
+    widths[dod_pos + 1] = pay_w
+    blobs = _pack_fields_multi(vals, widths, fcounts)
+    for j, i in enumerate(big_idx):
+        out[i] = blobs[j]
+    return out  # type: ignore[return-value]
+
+
+def encode_float_streams(streams: list) -> list[bytes]:
+    """Batched XOR encoder with static per-block windows: one numpy pass
+    over all blocks.  Byte-identical to :func:`encode_values_fast`."""
+    out: list[bytes | None] = [None] * len(streams)
+    blocks, big_idx = [], []
+    for i, s in enumerate(streams):
+        a = np.ascontiguousarray(np.asarray(s, dtype=np.float64))
+        b = a.view(np.uint64)
+        if len(b) <= 2 or not (b[1:] != b[:-1]).any():
+            out[i] = encode_values(a)        # tiny / all-identical blocks
+        else:
+            blocks.append(b)
+            big_idx.append(i)
+    if not big_idx:
+        return out  # type: ignore[return-value]
+    L = np.array([len(b) for b in blocks])
+    nb = len(blocks)
+    allv = np.concatenate(blocks)
+    intra = _seg_arange(L)
+    starts = np.cumsum(L) - L
+    xor = np.zeros(len(allv), dtype=np.uint64)
+    xor[1:] = allv[1:] ^ allv[:-1]
+    is_x = intra > 0                          # one xor per non-first element
+    X = xor[is_x]
+    m = L - 1
+    segid = np.repeat(np.arange(nb), m)
+    nz = X != 0
+    bl = _bit_length_u64(X[nz])
+    lead_each = np.minimum(64 - bl, 31)
+    low = X[nz] & (~X[nz] + np.uint64(1))
+    tail_each = _bit_length_u64(low) - 1
+    lead_b = np.full(nb, 64, dtype=np.int64)
+    tail_b = np.full(nb, 64, dtype=np.int64)
+    np.minimum.at(lead_b, segid[nz], lead_each)
+    np.minimum.at(tail_b, segid[nz], tail_each)
+    mbits_b = 64 - lead_b - tail_b
+    xi = _seg_arange(m)                       # xor index within block
+    first_nz = np.full(nb, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_nz, segid[nz], xi[nz])
+    # ctrl/payload per xor
+    ctrl = np.zeros(len(X), dtype=np.uint64)
+    ctrl_w = np.ones(len(X), dtype=np.int64)
+    ctrl[nz] = 0b10
+    ctrl_w[nz] = 2
+    at_first = xi == first_nz[segid]
+    hdr = ((np.uint64(0b11) << np.uint64(11))
+           | (lead_b[segid].astype(np.uint64) << np.uint64(6))
+           | (mbits_b[segid].astype(np.uint64) & np.uint64(63)))
+    ctrl[at_first] = hdr[at_first]
+    ctrl_w[at_first] = 13
+    pay = np.zeros(len(X), dtype=np.uint64)
+    pay_w = np.zeros(len(X), dtype=np.int64)
+    pay[nz] = X[nz] >> tail_b[segid[nz]].astype(np.uint64)
+    pay_w[nz] = mbits_b[segid[nz]]
+    # fields: per block 2 headers + 2 per xor
+    fcounts = 2 + 2 * m
+    f_starts = np.cumsum(fcounts) - fcounts
+    total_f = int(fcounts.sum())
+    vals = np.zeros(total_f, dtype=np.uint64)
+    widths = np.zeros(total_f, dtype=np.int64)
+    vals[f_starts] = L.astype(np.uint64)
+    widths[f_starts] = 32
+    vals[f_starts + 1] = allv[starts]
+    widths[f_starts + 1] = 64
+    x_pos = np.repeat(f_starts + 2, m) + 2 * xi
+    vals[x_pos] = ctrl
+    widths[x_pos] = ctrl_w
+    vals[x_pos + 1] = pay
+    widths[x_pos + 1] = pay_w
+    blobs = _pack_fields_multi(vals, widths, fcounts)
+    for j, i in enumerate(big_idx):
+        out[i] = blobs[j]
+    return out  # type: ignore[return-value]
 
 
 def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[bytes, bytes, int]:
