@@ -10,9 +10,9 @@ Default mode (what the driver runs): executes the headline queries at
      "bytes_per_point": ...}
 
 Scaling mode (north rule): ``python bench.py --scaling`` runs the
-token-rollup+compression pipeline in two fresh JVMs at local[8] and
-local[32] over the same input and reports throughput at both plus the
-scaling efficiency (target >= 0.8 from N to 4N cores).
+token-rollup+compression pipeline in two fresh JVMs at local[N] and
+local[4N] (default N=2) over the same 500k-series input and reports
+throughput at both plus the scaling efficiency (target >= 0.8).
 """
 
 from __future__ import annotations
@@ -231,7 +231,7 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
     shared host), so pairs that touch the saturated top end measure the
     box, not the engine.  The 4->16 pair is also reported in BENCH.md.
     """
-    docs = docs or max(N_DOCS, 150_000)
+    docs = docs or max(N_DOCS, 500_000)
     results = {}
     for cores in (n, 4 * n):
         cmd = [sys.executable, __file__, "--cores", str(cores),
