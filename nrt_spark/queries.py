@@ -1037,6 +1037,36 @@ def lsh_topk_embeddings(spark, sf_dir):
     return SS.lsh_topk(emb, probe, k=10, n_planes=6)
 
 
+@q("nrt_streaming_rollup", None)
+def nrt_streaming_rollup(spark, sf_dir):
+    """Structured Streaming continuous aggregate: the day-tier rollup
+    fed through a file-source stream with a watermark (availableNow),
+    landing on the same buckets as the batch tier."""
+    import tempfile
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.streaming import rollup_stream
+
+    tmp = tempfile.mkdtemp(prefix="nrt_stream_q_")
+    toks = generate_tokens(spark, 50, n_obs=60)
+    (decode_long(toks).select("doc_id", "ts", "value")
+     .coalesce(2).write.parquet(tmp + "/src"))
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .parquet(tmp + "/src"))
+    name = "nrt_streaming_rollup_sink"
+    query = (rollup_stream(stream, tier="day", watermark="10 days")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", tmp + "/ck")
+             .trigger(availableNow=True).start())
+    query.awaitTermination(240)
+    return spark.sql(
+        f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
+        f"FROM {name}")
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary-payload decode plumbing (deterministic fake features)."""
