@@ -260,6 +260,56 @@ def asof_join_clicks(spark, sf_dir):
     )
 
 
+@q("supplier_part_revenue", """
+SELECT s.s_name, n.n_name AS nation, p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size > 30
+GROUP BY s.s_name, n.n_name, p.p_brand
+""")
+def supplier_part_revenue(spark, sf_dir):
+    """Fact-to-two-dims star join over the remaining schema tables
+    (supplier/part), dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter("p_size > 30")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"), "p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@q("orders_above_cust_avg", """
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+FROM orders o
+WHERE o.o_totalprice > 1.8 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey)
+""")
+def orders_above_cust_avg(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — same rewrite a warehouse would do by hand)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_q")
+    return spark.sql("""
+      SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
+      FROM orders_q o
+      WHERE o.o_totalprice > 1.8 * (
+        SELECT avg(o2.o_totalprice) FROM orders_q o2
+        WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
 @q("pivot_status_qty", """
 SELECT l_returnflag,
        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
