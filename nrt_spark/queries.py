@@ -48,7 +48,9 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                  AS sum_qty,
        round(sum(l_extendedprice), 2)                             AS sum_base,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_disc_e4,
        round(avg(l_quantity), 4)                                  AS avg_qty,
        count(*)                                                   AS n
 FROM lineitem
@@ -63,22 +65,25 @@ def pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
              F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-             F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .alias("sum_disc_e4"),
              F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
              F.count("*").alias("n"))
     )
 
 
 @q("top_revenue_orders", """
-SELECT o_orderkey, o_orderpriority, round(revenue, 2) AS revenue
+SELECT o_orderkey, o_orderpriority, revenue_e4
 FROM (
   SELECT o.o_orderkey, o.o_orderpriority,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_e4
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY o.o_orderkey, o.o_orderpriority
 ) t
-ORDER BY revenue DESC, o_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey
 LIMIT 10
 """)
 def top_revenue_orders(spark, sf_dir):
@@ -88,12 +93,12 @@ def top_revenue_orders(spark, sf_dir):
     rev = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .alias("revenue_e4"))
     )
-    return (rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
-            .select("o_orderkey", "o_orderpriority",
-                    F.round("revenue", 2).alias("revenue")))
+    return (rev.orderBy(F.desc("revenue_e4"), F.asc("o_orderkey")).limit(10)
+            .select("o_orderkey", "o_orderpriority", "revenue_e4"))
 
 
 @q("semi_join_orders", """
@@ -262,7 +267,9 @@ def asof_join_clicks(spark, sf_dir):
 
 @q("supplier_part_revenue", """
 SELECT s.s_name, n.n_name AS nation, p.p_brand,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
        count(*) AS n_lines
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -283,8 +290,9 @@ def supplier_part_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("s_name", F.col("n_name").alias("nation"), "p_brand")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * F.round((1 - F.col("l_discount")) * 100).cast("long"))
+             .alias("revenue_e4"),
              F.count("*").alias("n_lines"))
     )
 

@@ -69,9 +69,14 @@ def test_query_matches_oracle(spark, ddb, name):
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)} rows"
     for c in got.columns:
         if np.issubdtype(got[c].dtype, np.floating):
-            np.testing.assert_allclose(
-                got[c].to_numpy(), want[c].to_numpy(dtype=np.float64),
-                rtol=1e-6, atol=1e-9, err_msg=f"{name}.{c}", equal_nan=True)
+            # bit-exact: every oracle query is engineered so both engines
+            # compute identical doubles (integer-cent sums, shared
+            # rounding conventions); regressions here mean a real
+            # cross-engine divergence the driver's value-hash would hit
+            np.testing.assert_array_equal(
+                np.nan_to_num(got[c].to_numpy(), nan=-9e9),
+                np.nan_to_num(want[c].to_numpy(dtype=np.float64), nan=-9e9),
+                err_msg=f"{name}.{c}")
         else:
             mism = (got[c].to_numpy() != want[c].to_numpy())
             assert not mism.any(), (
