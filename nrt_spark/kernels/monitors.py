@@ -184,6 +184,20 @@ def fit_state(y: np.ndarray, dates_days: np.ndarray, params: dict,
     state["beta"][:, cols] = beta_flat
 
     # ---- monitor-specific finalization over the fitted columns ----
+    # (warnings scoped: all-NaN residual columns from unstable series
+    # trip numpy's "Mean of empty slice" RuntimeWarnings — meaningless
+    # noise in executor logs at fleet scale)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        _finalize_monitor_state(monitor, params, state, cols, resid_flat,
+                                n_coef, K)
+    return state
+
+
+def _finalize_monitor_state(monitor, params, state, cols, resid_flat,
+                            n_coef, K):
     if monitor == "ewma":
         # reference ewma.py:58-84
         lam = params["lambda_"]
@@ -228,7 +242,6 @@ def fit_state(y: np.ndarray, dates_days: np.ndarray, params: dict,
         state["boundary"][cols] = params["boundary_static"]
     else:
         raise ValueError(f"Unknown monitor {monitor!r}")
-    return state
 
 
 # ---------------------------------------------------------------------------
