@@ -383,6 +383,26 @@ def events_rollup_week(spark, sf_dir):
     )
 
 
+@q("bitmask_filter_events", """
+SELECT event_type, count(*) AS n_clear,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS k_sum
+FROM events
+WHERE (CAST(json_extract_string(props, '$.k') AS INT) & 3) = 0
+GROUP BY event_type
+""")
+def bitmask_filter_events(spark, sf_dir):
+    """Bitmask predicate filter (reference S2: the qa_pixel cloud-bit
+    screen ``qa.bitwiseAND(0x1F) == 0``, dontplot_bolivia_stac.py:189) —
+    plain Catalyst bitwise AND, pushed as a filter."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.filter(k.bitwiseAND(F.lit(3)) == 0)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_clear"),
+                 F.sum(k).alias("k_sum")))
+
+
 @q("events_interarrival", """
 WITH gaps AS (
   SELECT user_id,

@@ -64,3 +64,30 @@ def test_timestamps_roundtrip_property(ts_list):
     ts = np.array(sorted(ts_list), dtype=np.int64)
     np.testing.assert_array_equal(
         g.decode_timestamps(g.encode_timestamps(ts)), ts)
+
+
+def test_batch_encoders_byte_equal_per_block():
+    """encode_int_streams / encode_float_streams must be byte-identical
+    to the per-block encoders over random blocks (NaN, all-identical,
+    tiny, empty), including across the 256-block chunk boundary."""
+    rng = np.random.RandomState(5)
+    ints, floats = [], []
+    for k in range(600):  # > 2 chunks
+        n = rng.randint(0, 180)
+        ints.append(np.cumsum(rng.randint(1, 10 ** 6, size=n)).astype(np.int64)
+                    - 5 * 10 ** 5 if n else np.array([], dtype=np.int64))
+        v = np.round(rng.normal(0.5, 0.1, n), 4)
+        if n:
+            v[rng.random_sample(n) < 0.1] = np.nan
+            if k % 13 == 0:
+                v[:] = 0.77
+        floats.append(v)
+    bi = g.encode_int_streams(ints)
+    bf = g.encode_float_streams(floats)
+    for k in range(600):
+        assert bi[k] == g.encode_timestamps(ints[k]), f"int {k}"
+        assert bf[k] == g.encode_values_fast(floats[k]), f"float {k}"
+        np.testing.assert_array_equal(g.decode_timestamps(bi[k]), ints[k])
+        out = g.decode_values(bf[k])
+        np.testing.assert_array_equal(out.view(np.uint64),
+                                      np.asarray(floats[k]).view(np.uint64))
