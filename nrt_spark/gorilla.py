@@ -415,7 +415,6 @@ def _encode_int_streams_one(streams: list) -> list[bytes]:
     nb = len(blocks)
     allv = np.concatenate(blocks)
     intra = _seg_arange(L)
-    not_first = intra > 0
     deltas = np.empty(len(allv), dtype=np.int64)
     deltas[1:] = allv[1:] - allv[:-1]       # garbage at block firsts, masked
     starts = np.cumsum(L) - L
