@@ -81,6 +81,68 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
     return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
+              sample: int = 10000, vec_col: str = "embedding",
+              seed: str = "nrt-ivf") -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means over a driver-side sample.
+
+    Deterministic: centroid init comes from sha256-seeded selection of
+    sample rows, Lloyd iterations are pure numpy.  At 10^12 scale the
+    sample is a tiny fixed-size sketch; training cost is O(sample),
+    independent of table size.
+
+    Returns:
+        (n_cells, dim) float64 centroid matrix.
+    """
+    rows = (embeddings.select(vec_col).limit(sample).toPandas()[vec_col]
+            .tolist())
+    X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
+    order = np.argsort((np.arange(len(X)) * 2654435761 + h) % (2 ** 32))
+    C = X[order[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)       # cosine on unit vectors
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                mu = members.mean(axis=0)
+                C[c] = mu / (np.linalg.norm(mu) or 1.0)
+    return C
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id"
+               ) -> DataFrame:
+    """Assign each vector its IVF cell = argmax cosine over centroids
+    (pure Catalyst: one dot product per centroid, array_position of the
+    max — at scale the cell is a partition key)."""
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = _norm(cast_vec)
+    sims = F.array(*[
+        _dot(cast_vec, F.array(*[F.lit(float(x)) for x in c])) / norm
+        for c in centroids
+    ])
+    cell = F.array_position(sims, F.array_max(sims)) - 1
+    return embeddings.select(id_col, vec_col, cell.cast("int").alias("cell"))
+
+
+def ivf_topk(embeddings: DataFrame, probe: list[float],
+             centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id"
+             ) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the ``nprobe``
+    cells nearest to the probe (the IVF scale path: a partition-pruned
+    scan over cell partitions instead of the full table)."""
+    assigned = ivf_assign(embeddings, centroids, vec_col, id_col)
+    pv = np.asarray(probe, dtype=np.float64)
+    pv = pv / np.linalg.norm(pv)
+    probe_cells = np.argsort(-(centroids @ pv))[:nprobe].tolist()
+    return cosine_topk(
+        assigned.filter(F.col("cell").isin([int(c) for c in probe_cells])),
+        probe, k, vec_col, id_col)
+
+
 def lsh_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
              n_planes: int = 8, seed: str = "nrt",
              vec_col: str = "embedding", id_col: str = "vec_id"

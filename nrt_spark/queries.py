@@ -1145,6 +1145,18 @@ def nrt_streaming_rollup(spark, sf_dir):
         f"FROM {name}")
 
 
+@q("ivf_topk_embeddings", None)
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF approximate nearest neighbours: deterministic k-means coarse
+    quantizer, probe the nearest cells only (the second ANN scale path
+    next to LSH)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = SS.ivf_train(emb, n_cells=16, iters=8)
+    probe = [float(x) for x in
+             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return SS.ivf_topk(emb, probe, C, k=10, nprobe=6)
+
+
 @q("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     """Binary-payload decode plumbing (deterministic fake features)."""

@@ -104,3 +104,25 @@ def test_frame_sample(spark, docs):
                        "'sample_rate',CAST(NULL AS INT),'n_frames',10)")),
         every_n=3)
     assert fs.filter("media_id = '1'").count() == 4  # frames 0,3,6,9
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (deterministic k-means coarse quantizer): searching nprobe=6
+    of 16 cells must recover most of the exact brute-force top-10."""
+    from nrt_spark.dataops.simsearch import ivf_train, ivf_topk, ivf_assign, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = ivf_train(emb, n_cells=16, iters=8)
+    assert C.shape[1] == 64
+    probe = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ivf_topk(emb, probe, C, k=10, nprobe=6).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, recall
+    # assignment is a total partition: every vector lands in exactly one cell
+    cells = ivf_assign(emb, C).groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    # determinism: retraining gives identical centroids
+    import numpy as np
+    np.testing.assert_array_equal(C, ivf_train(emb, n_cells=16, iters=8))
