@@ -965,6 +965,28 @@ def tokenize_docs(spark, sf_dir):
                  F.sum(tok_id).alias("tok_checksum")))
 
 
+@q("bpe_token_counts", r"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text,
+         '''[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
+         AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (contractions | words | numbers | punctuation runs | whitespace),
+    identical match semantics in Java regex and RE2."""
+    pat = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select("source",
+                    F.regexp_count(F.col("text"), F.lit(pat)).alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("total_bpe_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
 @q("token_roundtrip_invariant", None)
 def token_roundtrip_invariant(spark, sf_dir):
     """The BASELINE input_hint per-row invariant: decode -> re-encode of
