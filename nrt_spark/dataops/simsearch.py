@@ -83,19 +83,21 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
 
 def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
               sample: int = 10000, vec_col: str = "embedding",
-              seed: str = "nrt-ivf") -> np.ndarray:
+              id_col: str = "vec_id", seed: str = "nrt-ivf") -> np.ndarray:
     """Train an IVF coarse quantizer: k-means over a driver-side sample.
 
-    Deterministic: centroid init comes from sha256-seeded selection of
-    sample rows, Lloyd iterations are pure numpy.  At 10^12 scale the
-    sample is a tiny fixed-size sketch; training cost is O(sample),
-    independent of table size.
+    Deterministic: the sample is the ``sample`` smallest ids (an ordered
+    TakeOrdered, not a partition-layout-dependent ``limit``), centroid
+    init comes from sha256-seeded selection of sample rows, and Lloyd
+    iterations are pure numpy — identical centroids on any cluster size
+    or partitioning.  At 10^12 scale the sample is a tiny fixed-size
+    sketch; training cost is O(sample), independent of table size.
 
     Returns:
         (n_cells, dim) float64 centroid matrix.
     """
-    rows = (embeddings.select(vec_col).limit(sample).toPandas()[vec_col]
-            .tolist())
+    rows = (embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample)
+            .toPandas()[vec_col].tolist())
     X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -141,6 +143,66 @@ def ivf_topk(embeddings: DataFrame, probe: list[float],
     return cosine_topk(
         assigned.filter(F.col("cell").isin([int(c) for c in probe_cells])),
         probe, k, vec_col, id_col)
+
+
+def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
+                     n_tables: int = 16, seed: str = "nrt",
+                     vec_col: str = "embedding", id_col: str = "vec_id"
+                     ) -> DataFrame:
+    """Assign each vector one bucket per hash table (OR-amplified LSH).
+
+    ``n_tables`` independent plane sets (seed-derived, table t uses seed
+    ``"{seed}-{t}"``) raise recall for pair mining: a pair is a candidate
+    if it collides in ANY table.  All buckets are computed in one
+    projection and ``posexplode``d — a single scan, no joins.
+    Output: (id, table_idx, bucket).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, f"{seed}-{t}")
+        bucket = None
+        for p in range(n_planes):
+            plane_col = F.array(*[F.lit(float(x)) for x in planes[p]])
+            bit = F.when(_dot(cast_vec, plane_col) >= 0, F.lit(1 << p)) \
+                .otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(bucket)
+    return embeddings.select(
+        id_col, F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"))
+
+
+def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                      n_planes: int = 4, n_tables: int = 16,
+                      seed: str = "nrt", vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pair mining without a cross join: the scale-safe
+    twin of the brute-force all-pairs threshold join.
+
+    Plan shape: (1) one scan computing ``n_tables`` bucket ids per
+    vector, (2) a self-join on (table_idx, bucket) — the shuffle key is
+    the bucket hash, never an inequality — (3) ``distinct`` candidate
+    ids, (4) two id-joins to fetch the vectors, (5) exact cosine filter.
+    Expected recall vs brute force is 1-(1-p^b)^T with
+    p = 1 - theta/pi; defaults (b=4, T=16) give ~0.94 at cosine 0.4.
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    assigned = lsh_multi_assign(embeddings, n_planes, n_tables, seed,
+                                vec_col, id_col)
+    a = assigned.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = assigned.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (a.join(b, ["table_idx", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ea = embeddings.select(F.col(id_col).alias("id_a"), cast_vec.alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), cast_vec.alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("cos_raw", cos)
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
 
 
 def lsh_topk(embeddings: DataFrame, probe: list[float], k: int = 10,

@@ -118,12 +118,19 @@ def semi_join_orders(spark, sf_dir):
 @q("anti_join_customers", """
 SELECT c.c_mktsegment, count(*) AS n
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o.o_totalprice > 50000)
 GROUP BY c.c_mktsegment
 """)
 def anti_join_customers(spark, sf_dir):
+    """Customers with no recent large order (the filter keeps the result
+    non-empty at every test sf — an all-customers anti-join is degenerate
+    because every customer has at least one order)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_totalprice") > 50000))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
 
@@ -242,27 +249,44 @@ def json_extract_events(spark, sf_dir):
 
 @q("asof_join_clicks", """
 SELECT p.event_id, p.user_id,
-       c.event_id AS click_id, round(c.value, 2) AS click_value
+       cc.event_id AS click_id, round(cc.value, 2) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+LEFT JOIN LATERAL (
+  SELECT c.event_id, c.value
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) cc ON TRUE
 """)
 def asof_join_clicks(spark, sf_dir):
     """As-of join: for each purchase, the user's latest click at or
-    before it.  Spark emulation: range join + max_by per purchase (the
-    classic window/aggregate rewrite of ASOF)."""
+    before it (ties on ts broken by event_id, so id and value always
+    come from the same click row).
+
+    Spark plan: union the two event streams with a type tag and take
+    ``last(click, ignoreNulls)`` over (user, ts, kind, event_id) at
+    purchase rows — ONE shuffle, linear in events.  The classic range
+    join + max_by rewrite is O(purchases x clicks) per user and dies on
+    a hot user at scale; this union+window form is the 100x-safe plan.
+    """
     ev = _t(spark, sf_dir, "events")
-    p = ev.filter("event_type = 'purchase'").select(
-        "event_id", "user_id", "ts")
-    c = ev.filter("event_type = 'click'").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("c_id"), F.col("value").alias("c_value"))
-    joined = p.join(c, (p.user_id == c.c_user) & (p.ts >= c.c_ts), "left")
-    return (
-        joined.groupBy("event_id", "user_id")
-        .agg(F.max_by("c_id", "c_ts").alias("click_id"),
-             F.round(F.max_by("c_value", "c_ts"), 2).alias("click_value"))
-    )
+    # kind 0 = click, 1 = purchase: a click at the same ts sorts before
+    # the purchase, so "p.ts >= c.ts" inclusively matches it
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+        F.struct(F.col("event_id").alias("c_id"),
+                 F.col("value").alias("c_value")).alias("click"))
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id",
+        F.lit(None).cast("struct<c_id:long,c_value:double>").alias("click"))
+    w = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    u = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w))
+    return (u.filter("kind = 1")
+            .select("event_id", "user_id",
+                    F.col("last_click.c_id").alias("click_id"),
+                    F.round("last_click.c_value", 2).alias("click_value")))
 
 
 @q("supplier_part_revenue", """
@@ -436,12 +460,14 @@ WITH p AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.prefix, b.prefix) AS dist
 FROM p a JOIN p b ON a.lang = b.lang AND a.b = b.b AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 12
+WHERE levenshtein(a.prefix, b.prefix) <= 20
 """)
 def dedup_edit_distance(spark, sf_dir):
     """Edit-distance near-dup pairs on document prefixes, blocked by
     (lang, length-band) to bound the pair count (classic DP levenshtein
-    computes identically in any engine)."""
+    computes identically in any engine).  Threshold 20 on 30-char
+    prefixes keeps the result non-empty at every test sf (<=12 passed
+    degenerately with 0 rows)."""
     p = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 30).alias("prefix"),
         (F.col("n_chars") % 5).alias("b"))
@@ -452,7 +478,7 @@ def dedup_edit_distance(spark, sf_dir):
     return (a.join(bb, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
                    & (F.col("doc_a") < F.col("doc_b")))
             .withColumn("dist", F.levenshtein("pa", "pb"))
-            .filter(F.col("dist") <= 12)
+            .filter(F.col("dist") <= 20)
             .select("doc_a", "doc_b", "dist"))
 
 
@@ -686,8 +712,15 @@ def dedup_exact_docs(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_JACCARD_SQL = """
-WITH sh AS (
+#: hot-shingle document-frequency cap for the near-dup queries.  A
+#: stop-phrase shingle shared by a constant fraction of 10^9 docs makes
+#: the shingle self-join quadratic; dropping shingles with df > cap
+#: bounds the per-shingle fan-out.  50 is a no-op at the test sfs
+#: (max observed df is 25 at sf0.1) but load-bearing at scale.
+MAX_SHINGLE_DF = 50
+
+_JACCARD_SQL = f"""
+WITH sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -698,6 +731,11 @@ WITH sh AS (
                               ' ') AS w
           FROM documents)
   )
+), ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
 ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -715,9 +753,11 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.08
 
 @q("dedup_jaccard_pairs", _JACCARD_SQL)
 def dedup_jaccard_pairs(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs (shingle join, no cross product)."""
+    """3-gram Jaccard near-dup pairs (shingle join, no cross product);
+    hot shingles df-capped so the self-join fan-out is bounded at scale
+    (cap mirrored in the oracle's HAVING clause)."""
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3,
-                           threshold=0.08)
+                           threshold=0.08, max_df=MAX_SHINGLE_DF)
 
 
 def _minhash_sql() -> str:
@@ -728,7 +768,7 @@ def _minhash_sql() -> str:
         f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
         for b in range(4))
     return f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -739,6 +779,11 @@ WITH sh AS (
                               ' ') AS w
           FROM documents)
   )
+), ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
 ), sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
@@ -756,9 +801,11 @@ GROUP BY 1, 2
 @q("minhash_lsh_pairs", _minhash_sql())
 def minhash_lsh_pairs_q(spark, sf_dir):
     """MinHash(8) + LSH(4 bands of 2) candidate pairs; salted-md5 hash
-    families reproduce identically in any engine."""
+    families reproduce identically in any engine.  Hot shingles are
+    df-capped before signing (mirrored in the oracle)."""
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
-                               num_hashes=8, band_size=2)
+                               num_hashes=8, band_size=2,
+                               max_df=MAX_SHINGLE_DF)
 
 
 def _simhash_sql() -> str:
@@ -914,8 +961,9 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.4
 """)
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force threshold
-    join; the LSH-bucketed variant is the scale path)."""
+    """Embedding-cosine near-duplicate pairs — brute-force all-pairs
+    threshold join, O(n^2): retained ONLY as the small-sf recall oracle
+    for ``embedding_neardup_lsh`` (the bucketed scale path below)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"),
                    F.transform("embedding", lambda x: x.cast("double"))
@@ -930,6 +978,58 @@ def embedding_neardup_pairs(spark, sf_dir):
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
+                       threshold: float = 0.4, seed: str = "nrt") -> str:
+    """Oracle for the LSH-bucketed near-dup pair miner: the hyperplanes
+    are deterministic (sha256-derived), so the SQL inlines the identical
+    plane literals and reproduces bucket assignment exactly.  dim=64
+    matches the driver's embeddings table at every sf."""
+    tables = []
+    for t in range(n_tables):
+        planes = SS.hyperplanes(dim, n_planes, f"{seed}-{t}")
+        bits = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) "
+                        f">= 0 THEN {1 << p} ELSE 0 END)")
+        tables.append(f"SELECT vec_id, {t} AS table_idx,\n    "
+                      + "\n    + ".join(bits) + " AS bucket FROM e")
+    assigned = "\n  UNION ALL\n  ".join(tables)
+    cos = ("list_dot_product(ea.v, eb.v) / "
+           "(sqrt(list_dot_product(ea.v, ea.v)) * "
+           "sqrt(list_dot_product(eb.v, eb.v)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  {assigned}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = cand.id_a
+JOIN e eb ON eb.vec_id = cand.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+@q("embedding_neardup_lsh", _embedding_lsh_sql())
+def embedding_neardup_lsh(spark, sf_dir):
+    """Scale-safe embedding near-dup pair mining: multi-table
+    random-hyperplane LSH (16 tables x 4 planes), candidate pairs from a
+    bucket self-join (shuffle key = (table, bucket) hash — NO cross join
+    or inequality join in the plan), exact cosine verification on the
+    deduped candidates.  ~94% expected recall vs the brute-force twin at
+    cosine 0.4 (measured in tests/test_dataops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SS.lsh_neardup_pairs(emb, threshold=0.4, n_planes=4,
+                                n_tables=16, seed="nrt")
 
 
 # =========================================================================
@@ -1137,41 +1237,11 @@ def lsh_topk_embeddings(spark, sf_dir):
     return SS.lsh_topk(emb, probe, k=10, n_planes=6)
 
 
-@q("nrt_streaming_rollup", None)
-def nrt_streaming_rollup(spark, sf_dir):
-    """Structured Streaming continuous aggregate: the day-tier rollup
-    fed through a file-source stream with a watermark (availableNow),
-    landing on the same buckets as the batch tier."""
-    import tempfile
-
-    from nrt_spark.datagen import generate_tokens
-    from nrt_spark.tokens import decode_long
-    from nrt_spark.streaming import rollup_stream
-
-    tmp = tempfile.mkdtemp(prefix="nrt_stream_q_")
-    toks = generate_tokens(spark, 50, n_obs=60)
-    (decode_long(toks).select("doc_id", "ts", "value")
-     .coalesce(2).write.parquet(tmp + "/src"))
-    stream = (spark.readStream
-              .schema("doc_id string, ts timestamp, value double")
-              .parquet(tmp + "/src"))
-    name = "nrt_streaming_rollup_sink"
-    query = (rollup_stream(stream, tier="day", watermark="10 days")
-             .writeStream.format("memory").queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", tmp + "/ck")
-             .trigger(availableNow=True).start())
-    query.awaitTermination(240)
-    return spark.sql(
-        f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
-        f"FROM {name}")
-
-
 @q("ivf_topk_embeddings", None)
 def ivf_topk_embeddings(spark, sf_dir):
     """IVF approximate nearest neighbours: deterministic k-means coarse
-    quantizer, probe the nearest cells only (the second ANN scale path
-    next to LSH)."""
+    quantizer (ordered sample — reproducible on any partitioning), probe
+    the nearest cells only (the second ANN scale path next to LSH)."""
     emb = _t(spark, sf_dir, "embeddings")
     C = SS.ivf_train(emb, n_cells=16, iters=8)
     probe = [float(x) for x in
@@ -1188,6 +1258,44 @@ def multimodal_features(spark, sf_dir):
     feats = decode_features(media, dim=8, fake=True)
     return feats.select("media_id", "n_bytes",
                         F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# registered LAST: the one entry that spins up a streaming runtime.  If
+# the streaming machinery ever hard-kills the harness process, every
+# other registry entry has already been recorded.
+@q("nrt_streaming_rollup", None)
+def nrt_streaming_rollup(spark, sf_dir):
+    """Structured Streaming continuous aggregate: the day-tier rollup
+    fed through a file-source stream with a watermark (availableNow),
+    landing on the same buckets as the batch tier.  Deliberately tiny
+    (30 docs x 40 obs) and explicitly stopped — the harness should spend
+    milliseconds here, not a micro-batch timeout."""
+    import tempfile
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.streaming import rollup_stream
+
+    tmp = tempfile.mkdtemp(prefix="nrt_stream_q_")
+    toks = generate_tokens(spark, 30, n_obs=40)
+    (decode_long(toks).select("doc_id", "ts", "value")
+     .coalesce(1).write.parquet(tmp + "/src"))
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .parquet(tmp + "/src"))
+    name = "nrt_streaming_rollup_sink"
+    query = (rollup_stream(stream, tier="day", watermark="10 days")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", tmp + "/ck")
+             .trigger(availableNow=True).start())
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+    return spark.sql(
+        f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
+        f"FROM {name}")
 
 
 def queries():

@@ -73,7 +73,16 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
     # late data behind each series' watermark -> NaN (skip semantics)
     y[days[:, None] <= last_day[None, :]] = np.nan
     run_monitor(kstate, y, days, params, update_mask=update_mask)
-    new_last = np.maximum(last_day, int(days.max()) if len(days) else 0)
+    # per-series high-watermark: only series observed in this micro-batch
+    # advance (a batch-wide max would mask other series' later-arriving
+    # earlier observations as late — see engine.monitor's per-doc last_day)
+    new_last = last_day.copy()
+    if len(obs):
+        per_doc_max = obs.groupby("doc_id")["day"].max()
+        for doc, d in per_doc_max.items():
+            k = doc_pos.get(doc)
+            if k is not None and int(d) > new_last[k]:
+                new_last[k] = int(d)
     return state_to_pdf(kstate, state_pdf["doc_id"].to_numpy(), bucket,
                         new_last)
 

@@ -126,3 +126,30 @@ def test_ivf_topk_recall(spark):
     # determinism: retraining gives identical centroids
     import numpy as np
     np.testing.assert_array_equal(C, ivf_train(emb, n_cells=16, iters=8))
+
+
+def test_lsh_neardup_recall_vs_brute(spark):
+    """LSH-bucketed pair mining (the scale path, no cross join) must be a
+    subset of the brute-force threshold join with high recall; expected
+    recall for b=4 planes, T=16 tables at cosine>=0.4 is ~0.94."""
+    from nrt_spark.dataops.simsearch import lsh_neardup_pairs, cosine_similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r["id_a"], r["id_b"])
+           for r in lsh_neardup_pairs(emb, threshold=0.4).collect()}
+    a = emb.select(F.col("vec_id").alias("a"),
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"),
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vb"))
+    brute = {(r["a"], r["b"]) for r in
+             a.join(b, F.col("a") < F.col("b"))
+             .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.4)
+             .select("a", "b").collect()}
+    assert lsh <= brute                       # exact verify: no false pairs
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.8, f"recall {recall:.3f} ({len(lsh)}/{len(brute)})"
+    # the candidate plan must not contain a cartesian/inequality join
+    plan = lsh_neardup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan

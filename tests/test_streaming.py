@@ -129,3 +129,39 @@ def test_rollup_stream_rejects_month(spark, setup):
               .parquet(str(empty)))
     with pytest.raises(ValueError, match="day/week"):
         rollup_stream(stream, tier="month")
+
+
+def test_per_series_watermark(spark, setup):
+    """Regression: the streaming high-watermark is PER SERIES.  A series
+    with no observation in one micro-batch must not have its watermark
+    advanced by other series' observations (that silently dropped its
+    own later-arriving earlier-day data)."""
+    import pandas as pd
+    from nrt_spark.streaming import _load_bucket_state, _advance
+    from nrt_spark.kernels.monitors import resolve_params
+
+    toks, eng, state0, obs, src, tmp = setup
+    params = resolve_params("cusum", trend=False, method="OLS")
+    state_pdf = _load_bucket_state(str(tmp / "state0"), 0)
+    ok = state_pdf[state_pdf["mask"] == 1]["doc_id"].tolist()
+    assert len(ok) >= 2
+    a, b = ok[0], ok[1]
+    init = dict(zip(state_pdf["doc_id"], state_pdf["last_day"]))
+
+    batch1 = pd.DataFrame({"doc_id": [a], "day": [init[a] + 100],
+                           "value": [0.5]})
+    s1 = _advance(state_pdf, batch1, params, 0)
+    last1 = dict(zip(s1["doc_id"], s1["last_day"]))
+    assert last1[a] == init[a] + 100
+    assert last1[b] == init[b], "series B's watermark moved without data"
+
+    # B's first obs arrives later, at a day before A's — must be folded
+    proc1 = dict(zip(s1["doc_id"], s1["process"]))
+    batch2 = pd.DataFrame({"doc_id": [b], "day": [init[b] + 5],
+                           "value": [9.0]})
+    s2 = _advance(s1, batch2, params, 0)
+    last2 = dict(zip(s2["doc_id"], s2["last_day"]))
+    proc2 = dict(zip(s2["doc_id"], s2["process"]))
+    assert last2[b] == init[b] + 5
+    assert proc2[b] != proc1[b], "series B's observation was dropped"
+    assert proc2[a] == proc1[a]
