@@ -1033,8 +1033,10 @@ def embedding_neardup_lsh(spark, sf_dir):
 
 
 # =========================================================================
-# Rows-only entries (no SQL oracle): the sequential monitor engine,
-# LSH internals, compression, multimodal plumbing
+# Engine / datagen entries.  The five monitor reports carry a GENERATED
+# oracle (the single-process numpy pipeline rendered as SQL literals —
+# see _report_oracle_sql); LSH internals, HLL sketches and compression
+# stay rows-only (engine-specific by nature).
 # =========================================================================
 
 
@@ -1154,32 +1156,67 @@ def _datagen_report(spark, monitor: str, **params):
     toks = generate_tokens(spark, 300, n_obs=130)
     eng = NrtEngine(spark, monitor, num_buckets=16, **params)
     state = eng.fit(toks, history_end="2016-05-10")
-    return NrtEngine.report(eng.monitor(state, toks))
+    rep = NrtEngine.report(eng.monitor(state, toks))
+    # canonical driver shape: int mask, NaN -> NULL so both engines emit
+    # the same byte-exact doubles / typed ints
+    return rep.select(
+        "doc_id", F.col("mask").cast("int").alias("mask"),
+        F.col("detection_date").cast("int").alias("detection_date"),
+        F.when(F.isnan("process"), None).otherwise(F.col("process"))
+        .alias("process"))
 
 
-@q("nrt_ewma_report", None)
+def _report_oracle_sql(monitor: str, **params):
+    """Cross-engine oracle for the monitor reports: the single-process
+    numpy pipeline (nrt_spark.oracle — same deterministic datagen via a
+    pure-Python xxhash64, same kernels, NO Spark) computes the expected
+    report, embedded as SQL literals for DuckDB.  The driver's compare
+    then certifies the entire distributed plumbing (bucketing, cogrouped
+    state⋈obs alignment, last_day masking) byte-exactly.  Floats go
+    through string->DOUBLE casts: repr() round-trips doubles exactly,
+    while a bare decimal literal would become DECIMAL in DuckDB and
+    double-round."""
+    from nrt_spark.oracle import report_oracle
+
+    pdf = report_oracle(monitor, n_docs=300, n_obs=130, **params)
+    rows = []
+    for doc, mask, dd, proc in zip(pdf["doc_id"], pdf["mask"],
+                                   pdf["detection_date"], pdf["process"]):
+        p = "NULL" if (proc != proc) else f"CAST('{proc!r}' AS DOUBLE)"
+        rows.append(f"('{doc}', {int(mask)}, {int(dd)}, {p})")
+    return ("SELECT doc_id, CAST(mask AS INT) AS mask, "
+            "CAST(detection_date AS INT) AS detection_date, "
+            "CAST(process AS DOUBLE) AS process FROM (VALUES\n"
+            + ",\n".join(rows)
+            + "\n) t(doc_id, mask, detection_date, process)")
+
+
+@q("nrt_ewma_report",
+   lambda: _report_oracle_sql("ewma", trend=False, sensitivity=5.0))
 def nrt_ewma_report(spark, sf_dir):
-    """Full fit+monitor EWMA pipeline on the deterministic token table
-    (order-dependent fold: rows-only check)."""
+    """Full fit+monitor EWMA pipeline on the deterministic token table,
+    checked byte-exactly against the single-process numpy oracle."""
     return _datagen_report(spark, "ewma", trend=False, sensitivity=5.0)
 
 
-@q("nrt_cusum_report", None)
+@q("nrt_cusum_report",
+   lambda: _report_oracle_sql("cusum", trend=False, method="OLS"))
 def nrt_cusum_report(spark, sf_dir):
     return _datagen_report(spark, "cusum", trend=False, method="OLS")
 
 
-@q("nrt_mosum_report", None)
+@q("nrt_mosum_report",
+   lambda: _report_oracle_sql("mosum", trend=False, method="OLS"))
 def nrt_mosum_report(spark, sf_dir):
     return _datagen_report(spark, "mosum", trend=False, method="OLS")
 
 
-@q("nrt_iqr_report", None)
+@q("nrt_iqr_report", lambda: _report_oracle_sql("iqr", trend=False))
 def nrt_iqr_report(spark, sf_dir):
     return _datagen_report(spark, "iqr", trend=False)
 
 
-@q("nrt_ccdc_report", None)
+@q("nrt_ccdc_report", lambda: _report_oracle_sql("ccdc", method="OLS"))
 def nrt_ccdc_report(spark, sf_dir):
     return _datagen_report(spark, "ccdc", method="OLS")
 
@@ -1302,6 +1339,20 @@ def queries():
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
+_sql_cache: dict[str, str] = {}
+
+
 def oracle_sql():
-    return {name: sql for name, (fn, sql) in REGISTRY.items()
-            if sql is not None}
+    """name -> ANSI SQL.  Entries registered with a callable (the
+    generated monitor-report oracles) are rendered lazily and cached —
+    importing this module stays cheap."""
+    out = {}
+    for name, (_fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        if callable(sql):
+            if name not in _sql_cache:
+                _sql_cache[name] = sql()
+            sql = _sql_cache[name]
+        out[name] = sql
+    return out

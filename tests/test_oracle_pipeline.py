@@ -1,0 +1,73 @@
+"""The single-process numpy oracle (nrt_spark.oracle) must reproduce the
+distributed pipeline bit-for-bit: xxhash64 parity with the JVM, token
+generation parity with the executors, and report parity for every
+monitor.  This is what makes the generated monitor-report SQL oracles
+(queries._report_oracle_sql) a real cross-check of the engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nrt_spark.hashing import spark_xxhash64_str, xxh64
+
+
+def test_xxh64_reference_vectors():
+    """Public xxHash64 test vectors (xxHash repository README/spec)."""
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    # Spark seed-42 parity values, pinned from the JVM expression
+    assert spark_xxhash64_str("") == -7444071767201028348
+
+
+def test_xxh64_matches_spark(spark):
+    vals = ["doc0000000000", "doc0000012345", "", "a", "ab", "abc",
+            "abcd", "abcde", "12345678", "123456789", "x" * 31, "y" * 32,
+            "z" * 33, "w" * 64, "hello world", "doc%010d"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string") \
+        .select("s", F.xxhash64("s").alias("h"))
+    for r in df.collect():
+        assert spark_xxhash64_str(r["s"]) == r["h"], repr(r["s"])
+
+
+def test_local_datagen_matches_spark(spark):
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.oracle import generate_tokens_local
+
+    want = generate_tokens(spark, 40, n_obs=50).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = generate_tokens_local(40, n_obs=50) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    for g, w in zip(got["tokens"], want["tokens"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("monitor,kwargs", [
+    ("ewma", dict(trend=False, sensitivity=5.0)),
+    ("mosum", dict(trend=False, method="OLS")),
+])
+def test_report_oracle_matches_engine(spark, monitor, kwargs):
+    """Distributed report == single-process oracle, byte-exact (the
+    other monitors are covered by the driver-style SQL compare in
+    test_queries_oracle.py — all five registry entries now carry the
+    generated oracle)."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+    from nrt_spark.oracle import report_oracle
+
+    toks = generate_tokens(spark, 80, n_obs=90)
+    eng = NrtEngine(spark, monitor, num_buckets=8, **kwargs)
+    state = eng.fit(toks, history_end="2016-05-10")
+    got = (NrtEngine.report(eng.monitor(state, toks)).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = report_oracle(monitor, n_docs=80, n_obs=90, **kwargs) \
+        .sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["mask"].to_numpy(np.int64),
+                                  want["mask"].to_numpy(np.int64))
+    np.testing.assert_array_equal(
+        got["detection_date"].to_numpy(np.int64),
+        want["detection_date"].to_numpy(np.int64))
+    gp = got["process"].to_numpy(np.float64)
+    wp = want["process"].to_numpy(np.float64)
+    assert np.all((gp == wp) | (np.isnan(gp) & np.isnan(wp)))
