@@ -66,6 +66,16 @@ def run_pipeline(spark) -> dict:
                      F.sum("n_bytes").alias("b")).collect()[0]
     wall = time.time() - t0
     total_points, total_bytes = int(row["p"]), int(row["b"])
+    # read path: decompress the archive back to points (audit/backfill
+    # cost — at 100 TB a reader runs ~10x more often than the writer)
+    from nrt_spark.compress import decompress_tier
+
+    blocks = blocks.persist()
+    blocks.count()
+    t0 = time.time()
+    decoded = decompress_tier(blocks).count()
+    decode_wall = time.time() - t0
+    blocks.unpersist()
     # quantized-value codec on the day tier (scaled-int delta-of-delta;
     # lossless for token-derived day means)
     qrow = (rollup_compress_tokens(toks, tiers=("day",), int_scale=10000.0)
@@ -76,24 +86,30 @@ def run_pipeline(spark) -> dict:
         "wall_sec": round(wall, 3),
         "rolled_points": total_points,
         "rollup_points_per_sec": round(total_points / wall, 1),
+        "decode_points_per_sec": round(decoded / decode_wall, 1),
         "bytes_per_point": round(total_bytes / total_points, 3),
         "bytes_per_point_quantized": round(qrow["b"] / qrow["p"], 3),
     }
 
 
+def _run_queries(spark, sf_dir: str) -> dict:
+    from nrt_spark import queries as Q
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _drain(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
 def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     from nrt_spark.session import get_spark
-    from nrt_spark import queries as Q
 
     spark = get_spark(cores=cores, app_name=f"bench_local{cores}",
                       shuffle_partitions=max(8, 2 * cores))
-    timings: dict[str, float] = {}
-    if include_queries:
-        registry = Q.queries()
-        for name in HEADLINE:
-            t0 = time.time()
-            _drain(registry[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+    timings = _run_queries(spark, sf_dir) if include_queries else {}
     pipe = run_pipeline(spark)
     timings["nrt_rollup_pipeline"] = pipe["wall_sec"]
     out = {
@@ -106,10 +122,19 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "cores": cores,
         "rolled_points": pipe["rolled_points"],
         "rollup_points_per_sec": pipe["rollup_points_per_sec"],
+        "decode_points_per_sec": pipe["decode_points_per_sec"],
         "bytes_per_point": pipe["bytes_per_point"],
         "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
     }
     spark.stop()
+    if include_queries and cores != 8:
+        # second pass at local[8] (fresh session, warm JVM) so rounds are
+        # comparable on this host, which anti-scales above ~10 cores —
+        # regressions attribute to the plan, not the box
+        spark8 = get_spark(cores=8, app_name="bench_local8",
+                           shuffle_partitions=16)
+        out["queries_local8"] = _run_queries(spark8, sf_dir)
+        spark8.stop()
     return out
 
 

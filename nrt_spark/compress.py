@@ -12,8 +12,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from nrt_spark.gorilla import (
-    decode_timestamps,
-    decode_values,
+    decode_float_streams,
+    decode_int_streams,
     encode_timestamps,
     encode_values_fast,
 )
@@ -49,19 +49,26 @@ def _compress_udf():
     return _udf_cache["compress"]
 
 
-def _decompress_udf():
-    if "decompress" not in _udf_cache:
-        @F.pandas_udf("ts array<long>, vals array<double>")
-        def _decompress_blocks(ts_block: pd.Series, val_block: pd.Series
-                               ) -> pd.DataFrame:
-            ts_out, val_out = [], []
-            for tb, vb in zip(ts_block, val_block):
-                ts_out.append(decode_timestamps(bytes(tb)).tolist())
-                val_out.append(decode_values(bytes(vb)).tolist())
-            return pd.DataFrame({"ts": ts_out, "vals": val_out})
+def _decompress_batches(batches):
+    """mapInPandas body: batched decode (every block of the Arrow batch
+    in one set of numpy passes — the read-path twin of
+    encode_*_streams), then straight to LONG form with repeat/concat.
+    No per-point Python, no list columns, no downstream explode."""
+    import numpy as np
 
-        _udf_cache["decompress"] = _decompress_blocks
-    return _udf_cache["decompress"]
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ts = decode_int_streams([bytes(b) for b in pdf["ts_block"]])
+        vals = decode_float_streams([bytes(b) for b in pdf["val_block"]])
+        lens = np.array([len(t) for t in ts], dtype=np.int64)
+        yield pd.DataFrame({
+            "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+            "ts": (np.concatenate(ts) if lens.sum()
+                   else np.array([], dtype=np.int64)),
+            "value": (np.concatenate(vals) if lens.sum()
+                      else np.array([], dtype=np.float64)),
+        })
 
 
 def compress_tier(rollup_df: DataFrame, value_col: str = "mean") -> DataFrame:
@@ -94,16 +101,13 @@ def compress_tier(rollup_df: DataFrame, value_col: str = "mean") -> DataFrame:
 
 def decompress_tier(blocks_df: DataFrame) -> DataFrame:
     """Inverse of :func:`compress_tier`: blocks -> (doc_id, bucket_start,
-    value) long form."""
-    arr = blocks_df.select(
-        "doc_id", _decompress_udf()("ts_block", "val_block").alias("d"))
-    return (
-        arr.select("doc_id", F.arrays_zip("d.ts", "d.vals").alias("z"))
-        .select("doc_id", F.explode("z").alias("p"))
-        .select("doc_id",
-                F.col("p.ts").cast("timestamp").alias("bucket_start"),
-                F.col("p.vals").alias("value"))
-    )
+    value) long form, exploded inside the Arrow batch (numpy
+    repeat/concatenate), not by a JVM explode over list columns."""
+    out = blocks_df.select("doc_id", "ts_block", "val_block").mapInPandas(
+        _decompress_batches, "doc_id string, ts long, value double")
+    return out.select(
+        "doc_id", F.col("ts").cast("timestamp").alias("bucket_start"),
+        "value")
 
 
 def compression_stats(blocks_df: DataFrame) -> dict:

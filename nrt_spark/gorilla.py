@@ -13,9 +13,11 @@ Implements the two stream codecs from Pelkonen et al., VLDB 2015 §4.1
   otherwise.
 
 Pure Python/numpy with no per-*row* Spark involvement: blocks are
-encoded per series inside vectorized UDFs (one call per Arrow batch);
-the bit loop is per *point* inside the codec, which is the standard
-trade for entropy coding (numba would JIT it on a real deployment).
+encoded per series inside vectorized UDFs (one call per Arrow batch).
+Both directions have batched numpy implementations that process every
+block of an Arrow batch in lockstep (encode_*_streams /
+decode_*_streams); the per-point reference codecs above them define the
+wire format and serve as the fuzz oracle.
 """
 
 from __future__ import annotations
@@ -543,6 +545,186 @@ def _encode_float_streams_one(streams: list) -> list[bytes]:
     for j, i in enumerate(big_idx):
         out[i] = blobs[j]
     return out  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# Batched decoders (read hot path)
+#
+# Variable-length codes decode sequentially *within* a block, but blocks
+# are independent: these decoders step all blocks of a batch in lockstep
+# (one set of numpy gathers per point position instead of a Python loop
+# per point).  ~n_points iterations per batch regardless of batch size,
+# so per-point Python cost amortizes to ~1/batch_size.  They accept any
+# stream the per-point decoders accept (greedy or static windows).
+# ---------------------------------------------------------------------------
+
+#: blocks per decode pass — bounds the (nb, 64) gather temporaries to a
+#: few MB (same fault-throttling rationale as _BATCH_CHUNK, but decode
+#: temporaries are ~8x smaller than the encoder's dense field matrix).
+_DECODE_CHUNK = 4096
+
+
+def _read_bit_vec(data: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """Read ONE bit at absolute bit offset ``cur[b]`` per block (the
+    control-bit hot path: a single byte gather + shift)."""
+    return (data[cur >> 3] >> (7 - (cur & 7)).astype(np.uint8)) \
+        & np.uint8(1)
+
+
+def _read_bits_vec(data: np.ndarray, cur: np.ndarray, widths: np.ndarray
+                   ) -> np.ndarray:
+    """Read ``widths[b]`` (0..64) bits at absolute bit offset ``cur[b]``
+    per block, MSB-first: gather 9 consecutive bytes, assemble a 64-bit
+    window starting at the (byte-unaligned) cursor, shift down.  Nine
+    n-element gathers — far cheaper than an (n, width) bit matrix."""
+    if not len(cur):
+        return np.zeros(0, dtype=np.uint64)
+    byte_pos = (cur >> 3).astype(np.int64)
+    off = (cur & 7).astype(np.uint64)
+    w = data[byte_pos].astype(np.uint64)
+    for j in range(1, 8):
+        w = (w << np.uint64(8)) | data[byte_pos + j]
+    spill = data[byte_pos + 8].astype(np.uint64)
+    v = np.where(off > 0,
+                 (w << off) | (spill >> (np.uint64(8) - off)), w)
+    wd = widths.astype(np.int64)
+    shift = np.clip(64 - wd, 0, 63).astype(np.uint64)
+    return np.where(wd > 0, v >> shift, np.uint64(0))
+
+
+def _bytes_of(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate blobs -> (byte array padded with 16 zero bytes so any
+    9-byte window gather stays in bounds, per-blob start bit offsets)."""
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    data = np.concatenate([np.frombuffer(b"".join(blobs), dtype=np.uint8),
+                           np.zeros(16, dtype=np.uint8)])
+    starts = (np.concatenate(([0], np.cumsum(lens)[:-1]))) * 8
+    return data, starts
+
+
+def _to_signed(u: np.ndarray) -> np.ndarray:
+    return u.astype(np.int64)  # two's complement reinterpretation
+
+
+def decode_float_streams(blobs: list[bytes]) -> list[np.ndarray]:
+    """Batched XOR decoder: inverse of encode_values / *_fast /
+    encode_float_streams."""
+    out: list[np.ndarray] = []
+    for i in range(0, len(blobs), _DECODE_CHUNK):
+        out.extend(_decode_float_streams_one(blobs[i:i + _DECODE_CHUNK]))
+    return out
+
+
+def _decode_float_streams_one(blobs: list[bytes]) -> list[np.ndarray]:
+    nb = len(blobs)
+    if nb == 0:
+        return []
+    data, cur = _bytes_of(blobs)
+    cur = cur.copy()
+    n = _read_bits_vec(data, cur, np.full(nb, 32, dtype=np.int64)) \
+        .astype(np.int64)
+    cur += 32
+    maxn = int(n.max()) if nb else 0
+    vals = np.zeros((nb, max(maxn, 1)), dtype=np.uint64)
+    has0 = n > 0
+    first = _read_bits_vec(data, cur, np.where(has0, 64, 0))
+    cur += np.where(has0, 64, 0)
+    vals[:, 0] = first
+    curval = first.copy()
+    lead = np.zeros(nb, dtype=np.int64)
+    tail = np.zeros(nb, dtype=np.int64)
+    for i in range(1, maxn):
+        ai = np.flatnonzero(n > i)                 # active blocks
+        if not len(ai):
+            break
+        b0 = _read_bit_vec(data, cur[ai])          # 1-bit control
+        cur[ai] += 1
+        nzi = ai[b0 == 1]                          # nonzero-xor blocks
+        b1 = _read_bit_vec(data, cur[nzi])
+        cur[nzi] += 1
+        nwi = nzi[b1 == 1]                         # new-window blocks
+        if len(nwi):
+            hdr = _read_bits_vec(data, cur[nwi],
+                                 np.full(len(nwi), 11, dtype=np.int64))
+            cur[nwi] += 11
+            hl = (hdr >> np.uint64(6)).astype(np.int64)
+            hm = (hdr & np.uint64(63)).astype(np.int64)
+            hm = np.where(hm == 0, 64, hm)
+            lead[nwi] = hl
+            tail[nwi] = 64 - hl - hm
+        if len(nzi):
+            mb = 64 - lead[nzi] - tail[nzi]
+            pay = _read_bits_vec(data, cur[nzi], mb)
+            cur[nzi] += mb
+            curval[nzi] ^= pay << tail[nzi].astype(np.uint64)
+        vals[ai, i] = curval[ai]
+    return [vals[b, :n[b]].copy().view(np.float64) for b in range(nb)]
+
+
+def decode_int_streams(blobs: list[bytes]) -> list[np.ndarray]:
+    """Batched delta-of-delta decoder: inverse of encode_timestamps /
+    *_fast / encode_int_streams."""
+    out: list[np.ndarray] = []
+    for i in range(0, len(blobs), _DECODE_CHUNK):
+        out.extend(_decode_int_streams_one(blobs[i:i + _DECODE_CHUNK]))
+    return out
+
+
+def _decode_int_streams_one(blobs: list[bytes]) -> list[np.ndarray]:
+    nb = len(blobs)
+    if nb == 0:
+        return []
+    data, cur = _bytes_of(blobs)
+    cur = cur.copy()
+    n = _read_bits_vec(data, cur, np.full(nb, 32, dtype=np.int64)) \
+        .astype(np.int64)
+    cur += 32
+    maxn = int(n.max()) if nb else 0
+    vals = np.zeros((nb, max(maxn, 1)), dtype=np.int64)
+    has0 = n > 0
+    first = _to_signed(_read_bits_vec(data, cur, np.where(has0, 64, 0)))
+    cur += np.where(has0, 64, 0)
+    vals[:, 0] = first
+    has1 = n > 1
+    delta = _to_signed(_read_bits_vec(data, cur, np.where(has1, 64, 0)))
+    cur += np.where(has1, 64, 0)
+    vals[has1, 1] = first[has1] + delta[has1]
+    prev = np.where(has1, first + delta, first)
+    klass = np.zeros(nb, dtype=np.int64)
+    pw = np.zeros(nb, dtype=np.int64)
+    lo = np.zeros(nb, dtype=np.int64)
+    for i in range(2, maxn):
+        ai = np.flatnonzero(n > i)                 # active blocks
+        if not len(ai):
+            break
+        # control bits: '0' | '10' + 7b | '110' + 9b | '1110' + 12b
+        # | '1111' + 64b — each control bit is a direct 1-bit gather
+        # over the (shrinking) still-pending subset
+        klass[ai] = 0
+        rem = ai
+        for k in range(4):
+            if not len(rem):
+                break
+            b = _read_bit_vec(data, cur[rem])
+            cur[rem] += 1
+            klass[rem[b == 0]] = k
+            rem = rem[b == 1]
+        klass[rem] = 4
+        ka = klass[ai]
+        pw[ai] = np.select([ka == k + 1 for k in range(4)],
+                           [r[0] for r in _DOD_RANGES] + [64], 0)
+        lo[ai] = np.select([ka == k + 1 for k in range(3)],
+                           [r[3] for r in _DOD_RANGES], 0)
+        rd = ai[pw[ai] > 0]
+        if len(rd):
+            pay = _read_bits_vec(data, cur[rd], pw[rd])
+            cur[rd] += pw[rd]
+            dod = np.where(klass[rd] == 4, _to_signed(pay),
+                           pay.astype(np.int64) + lo[rd])
+            delta[rd] += dod
+        prev[ai] += delta[ai]
+        vals[ai, i] = prev[ai]
+    return [vals[b, :n[b]].copy() for b in range(nb)]
 
 
 def encode_block(ts: np.ndarray, values: np.ndarray) -> tuple[bytes, bytes, int]:

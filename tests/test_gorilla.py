@@ -91,3 +91,61 @@ def test_batch_encoders_byte_equal_per_block():
         out = g.decode_values(bf[k])
         np.testing.assert_array_equal(out.view(np.uint64),
                                       np.asarray(floats[k]).view(np.uint64))
+
+
+def test_batched_decoders_roundtrip_all_encoders():
+    """decode_*_streams must invert every encoder variant (per-point
+    greedy, static-window fast, batched) on fuzzed mixed-size blocks
+    with NaNs, identical runs, negatives and raw-64 dods."""
+    from nrt_spark.gorilla import (
+        decode_float_streams, decode_int_streams, encode_float_streams,
+        encode_int_streams, encode_timestamps, encode_timestamps_fast,
+        encode_values, encode_values_fast)
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    fl, it = [], []
+    for _ in range(300):
+        n = int(rng.integers(0, 150))
+        v = rng.standard_normal(n) * (10 ** int(rng.integers(-2, 3)))
+        v[rng.random(n) < 0.1] = np.nan
+        if n > 3 and rng.random() < 0.3:
+            v[1:4] = v[0]
+        fl.append(v)
+        deltas = rng.integers(-3000, 3000, size=max(n - 1, 0))
+        if n > 5 and rng.random() < 0.2:
+            deltas[2] = int(rng.integers(-10 ** 9, 10 ** 9))
+        ts = (int(rng.integers(-10 ** 12, 10 ** 12))
+              + np.concatenate(([0], np.cumsum(deltas))).astype(np.int64)
+              if n else np.array([], dtype=np.int64))
+        it.append(ts)
+
+    for blobs in ([encode_values(v) for v in fl],
+                  [encode_values_fast(v) for v in fl],
+                  encode_float_streams(fl)):
+        for a, b in zip(fl, decode_float_streams(blobs)):
+            np.testing.assert_array_equal(
+                np.asarray(a, dtype=np.float64).view(np.uint64),
+                b.view(np.uint64))
+    for blobs in ([encode_timestamps(t) for t in it],
+                  [encode_timestamps_fast(t) for t in it],
+                  encode_int_streams(it)):
+        for a, b in zip(it, decode_int_streams(blobs)):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_batched_decode_matches_per_point():
+    """Batched decode == per-point reference decode, bit for bit."""
+    from nrt_spark.gorilla import (
+        decode_float_streams, decode_int_streams, decode_timestamps,
+        decode_values, encode_float_streams, encode_int_streams)
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    fl = [np.round(rng.standard_normal(130), 4) for _ in range(50)]
+    it = [np.arange(130, dtype=np.int64) * 86400 + 10 ** 9
+          for _ in range(50)]
+    fb, ib = encode_float_streams(fl), encode_int_streams(it)
+    for blob, batched in zip(fb, decode_float_streams(fb)):
+        np.testing.assert_array_equal(
+            decode_values(blob).view(np.uint64), batched.view(np.uint64))
+    for blob, batched in zip(ib, decode_int_streams(ib)):
+        np.testing.assert_array_equal(decode_timestamps(blob), batched)
