@@ -123,16 +123,18 @@ def rollup_stream(obs_stream, tier: str = "day",
     from pyspark.sql import functions as F
 
     # tumbling windows are fixed-length: day/week only (calendar months
-    # are variable-length — month tier stays a batch rollup).  The week
-    # window gets a +4d phase so buckets start on ISO Mondays like
-    # date_trunc('week') (epoch day 0 was a Thursday).
+    # are variable-length — the month tier streams through the stateful
+    # operator, see rollup_stream_month).  The week window gets a +4d
+    # phase so buckets start on ISO Mondays like date_trunc('week')
+    # (epoch day 0 was a Thursday).
     if tier == "day":
         win, start = "1 day", "0 seconds"
     elif tier == "week":
         win, start = "7 days", "4 days"
     else:
         raise ValueError("rollup_stream supports day/week tiers "
-                         "(calendar months are variable-length)")
+                         "(calendar months are variable-length: use "
+                         "rollup_stream_month)")
     agg = (
         obs_stream.withWatermark("ts", watermark)
         .groupBy("doc_id", F.window("ts", win, win, start).alias("w"))
@@ -144,6 +146,101 @@ def rollup_stream(obs_stream, tier: str = "day",
     return agg.select(
         "doc_id", F.col("w.start").alias("bucket_start"), "n", "vsum",
         "vmin", "vmax", (F.col("vsum") / F.col("n")).alias("mean"))
+
+
+MONTH_OUTPUT_SCHEMA = ("doc_id string, bucket_start timestamp, n long, "
+                       "vsum double, vmin double, vmax double, "
+                       "mean double, final boolean")
+_MONTH_STATE_SCHEMA = "blob binary"
+
+
+def _parse_days(watermark: str) -> int:
+    parts = watermark.split()
+    if len(parts) != 2 or parts[1] not in ("day", "days"):
+        raise ValueError("watermark must be 'N days'")
+    return int(parts[0])
+
+
+def rollup_stream_month(obs_stream, watermark: str = "3 days"):
+    """Streaming CALENDAR-month continuous aggregate.
+
+    Tumbling ``window()`` aggregation needs fixed-length windows, so the
+    variable-length month tier runs through a stateful operator instead
+    (``applyInPandasWithState`` keyed by doc_id).  Each state value
+    holds only the series' OPEN months (a handful of floats), giving
+    bounded state on an unbounded stream:
+
+    - every micro-batch folds its rows into the per-month
+      (n, vsum, vmin, vmax) partials and emits a snapshot of each
+      touched-or-open month (``final = false`` — update semantics);
+    - months whose end is more than ``watermark`` behind the series'
+      max event time are emitted once more with ``final = true`` and
+      EVICTED from state;
+    - rows older than ``watermark`` behind the series' own
+      high-watermark are dropped (per-series late-data contract, same
+      as the streaming monitor's ``last_day``).
+
+    The last snapshot per (doc_id, month) equals the batch
+    ``rollup_raw(month)`` buckets (n/vmin/vmax exactly; vsum/mean to
+    float-fold order, see tests).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    delay = pd.Timedelta(days=_parse_days(watermark))
+
+    def step(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.exists:
+            months, max_ts = pickle.loads(state.get[0])
+        else:
+            months, max_ts = {}, None
+        obs = pd.concat(list(pdfs), ignore_index=True)
+        obs = obs[obs["value"].notna()]
+        if max_ts is not None:
+            obs = obs[obs["ts"] >= max_ts - delay]       # late-data drop
+        touched = set()
+        if len(obs):
+            new_max = obs["ts"].max()
+            max_ts = new_max if max_ts is None else max(max_ts, new_max)
+            mkey = obs["ts"].dt.to_period("M")
+            for period, grp in obs.groupby(mkey):
+                v = grp["value"].to_numpy()
+                n, vs = len(v), float(np.sum(v))
+                vmin, vmax = float(np.min(v)), float(np.max(v))
+                cur = months.get(period)
+                if cur is None:
+                    months[period] = [n, vs, vmin, vmax]
+                else:
+                    cur[0] += n
+                    cur[1] += vs
+                    cur[2] = min(cur[2], vmin)
+                    cur[3] = max(cur[3], vmax)
+                touched.add(period)
+        rows, finalized = [], []
+        for period, (n, vs, vmin, vmax) in sorted(months.items()):
+            is_final = (max_ts is not None
+                        and period.end_time < max_ts - delay)
+            if is_final or period in touched:
+                rows.append((doc_id, period.start_time, n, vs, vmin,
+                             vmax, vs / n, bool(is_final)))
+            if is_final:
+                finalized.append(period)
+        for period in finalized:
+            del months[period]
+        state.update((pickle.dumps((months, max_ts), protocol=4),))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "bucket_start", "n", "vsum", "vmin", "vmax",
+                "mean", "final"])
+
+    return obs_stream.groupBy("doc_id").applyInPandasWithState(
+        step,
+        outputStructType=MONTH_OUTPUT_SCHEMA,
+        stateStructType=_MONTH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def monitor_stream(obs_stream, state_path: str, params: dict,

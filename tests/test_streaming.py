@@ -165,3 +165,66 @@ def test_per_series_watermark(spark, setup):
     assert last2[b] == init[b] + 5
     assert proc2[b] != proc1[b], "series B's observation was dropped"
     assert proc2[a] == proc1[a]
+
+
+def test_rollup_stream_month_matches_batch(spark, setup):
+    """Calendar-month streaming tier (stateful operator): the last
+    emitted snapshot per (doc, month) must equal the batch
+    rollup_raw(month) buckets, and months behind the watermark must be
+    finalized (emitted with final=true and evicted from state)."""
+    import pandas as pd
+    from nrt_spark.streaming import rollup_stream_month
+    from nrt_spark.rollup import rollup_raw
+
+    toks, eng, state0, obs, src, tmp = setup
+    long_df = decode_long(toks).select("doc_id", "ts", "value")
+    msrc = tmp / "month_src"
+    # three day-ordered chunks so months close across micro-batches
+    days = sorted(r[0] for r in long_df.select("ts").distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    for i, (lo, hi) in enumerate([(None, cuts[0]), (cuts[0], cuts[1]),
+                                  (cuts[1], None)]):
+        part = long_df
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.parquet(str(msrc / f"chunk{i}"))
+
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(msrc) + "/chunk*"))
+    q = (rollup_stream_month(stream, watermark="3 days")
+         .writeStream.format("memory").queryName("roll_month")
+         .option("checkpointLocation", str(tmp / "month_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    emitted = spark.sql("SELECT * FROM roll_month").toPandas()
+    assert emitted["final"].any(), "watermark never finalized a month"
+    # last snapshot per (doc, month) = the one with the largest n
+    got = (emitted.sort_values("n")
+           .groupby(["doc_id", "bucket_start"], as_index=False).last()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "month").filter("n > 0")
+            .select("doc_id", "bucket_start", "n", "vsum", "vmin", "vmax",
+                    "mean")
+            .toPandas().sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["bucket_start"].to_numpy(),
+                                  want["bucket_start"].to_numpy())
+    np.testing.assert_array_equal(got["n"].to_numpy(),
+                                  want["n"].to_numpy())
+    for col in ("vmin", "vmax"):
+        np.testing.assert_array_equal(got[col].to_numpy(dtype=float),
+                                      want[col].to_numpy(dtype=float))
+    # vsum folds incrementally across micro-batches (pairwise partials),
+    # so mean matches to float-fold order, not bit-exactly
+    np.testing.assert_allclose(got["mean"].to_numpy(dtype=float),
+                               want["mean"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    # finalized months were evicted: each (doc, month) finalizes at most once
+    fin = emitted[emitted["final"]]
+    assert not fin.duplicated(["doc_id", "bucket_start"]).any()
