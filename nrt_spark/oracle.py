@@ -45,6 +45,62 @@ def generate_tokens_local(n_docs: int, n_obs: int = 130,
                       bands=False, outlier_frac=0.0)
 
 
+def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
+                           ) -> pd.DataFrame:
+    """Expected per-(tier, doc-group) rollup checksums for the synthetic
+    token table — single-process, no Spark.
+
+    Checksum design: every tier bucket contributes an exact-integer term
+    ``day*1009 + rint(vsum*1e4) + n + rint(vmin*1e4) + rint(vmax*1e4)``
+    (``day`` alone for all-gap buckets); the per-group sum is
+    order-independent, so the driver's value-hash certifies every bucket
+    of every tier without shipping 39k rows of literals.  vsum folds
+    with np.bincount = strictly input-order accumulation, which is
+    bit-identical to Catalyst's sequential partial-aggregate fold (the
+    fastpath parity contract, tests/test_fastpath.py)."""
+    from nrt_spark.fastpath import _bucket_starts
+    from nrt_spark.tokens import GAP_TOKEN, SCALE
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    days = grid_days(n_obs)
+    acc: dict = {}
+    for doc, tok in zip(toks["doc_id"], toks["tokens"]):
+        t = np.asarray(tok, dtype=np.float64)
+        values = np.where(t == GAP_TOKEN, np.nan, t / SCALE)
+        grp = int(doc[-2:])
+        for tier in ("day", "week", "month"):
+            starts = _bucket_starts(days, tier)
+            new = np.concatenate(([True], np.diff(starts) != 0))
+            seg = np.cumsum(new) - 1
+            nseg = int(seg[-1]) + 1
+            bdays = starts[new]
+            valid = ~np.isnan(values)
+            vsum = np.bincount(seg, weights=np.where(valid, values, 0.0),
+                               minlength=nseg)
+            n = np.bincount(seg, weights=valid.astype(np.float64),
+                            minlength=nseg).astype(np.int64)
+            vmin = np.full(nseg, np.inf)
+            vmax = np.full(nseg, -np.inf)
+            np.minimum.at(vmin, seg[valid], values[valid])
+            np.maximum.at(vmax, seg[valid], values[valid])
+            term = np.where(
+                n > 0,
+                bdays * 1009
+                + np.rint(vsum * SCALE).astype(np.int64) + n
+                + np.rint(np.where(n > 0, vmin, 0) * SCALE).astype(np.int64)
+                + np.rint(np.where(n > 0, vmax, 0) * SCALE).astype(np.int64),
+                bdays)
+            key = (tier, grp)
+            cur = acc.setdefault(key, [0, 0, 0])
+            cur[0] += nseg
+            cur[1] += int(n.sum())
+            cur[2] += int(term.sum())
+    rows = [(tier, grp, nb, tn, ck)
+            for (tier, grp), (nb, tn, ck) in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["tier", "grp", "n_buckets",
+                                       "total_n", "checksum"])
+
+
 def report_oracle(monitor: str, n_docs: int = 300, n_obs: int = 130,
                   history_end: str = "2016-05-10", **params) -> pd.DataFrame:
     """Expected ``NrtEngine.report`` rows (doc_id, mask, detection_date,

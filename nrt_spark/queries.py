@@ -1236,6 +1236,59 @@ def nrt_rollup_day_tier(spark, sf_dir):
                       F.round("vmax", 6).alias("vmax"))
 
 
+def _rollup_checksum_oracle_sql() -> str:
+    """VALUES-literal oracle from the numpy rollup twin (all-integer
+    output, so the compare is exact by construction)."""
+    from nrt_spark.oracle import rollup_checksum_oracle
+
+    pdf = rollup_checksum_oracle(n_docs=300, n_obs=130)
+    rows = ",\n".join(
+        f"('{t}', {int(g)}, {int(nb)}, {int(tn)}, {int(ck)})"
+        for t, g, nb, tn, ck in pdf.itertuples(index=False))
+    return ("SELECT tier, CAST(grp AS INT) AS grp, "
+            "CAST(n_buckets AS BIGINT) AS n_buckets, "
+            "CAST(total_n AS BIGINT) AS total_n, "
+            "CAST(checksum AS BIGINT) AS checksum FROM (VALUES\n" + rows
+            + "\n) t(tier, grp, n_buckets, total_n, checksum)")
+
+
+@q("nrt_rollup_checksum", lambda: _rollup_checksum_oracle_sql())
+def nrt_rollup_checksum(spark, sf_dir):
+    """Every bucket of every retention tier, certified by the driver:
+    per (tier, doc-group) order-independent integer checksums over
+    (bucket day, vsum, n, vmin, vmax), compared against the
+    single-process numpy twin (oracle.rollup_checksum_oracle).  vsum
+    enters as rint(vsum*1e4) — exact because tier sums fold in the same
+    order in both engines (fastpath parity contract)."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.rollup import rollup_raw
+
+    toks = generate_tokens(spark, 300, n_obs=130)
+    long_df = decode_long(toks)
+    parts = []
+    for tier in ("day", "week", "month"):
+        r = rollup_raw(long_df, tier)
+        day_num = F.datediff("bucket_start", F.lit("1970-01-01"))
+        term = F.when(
+            F.col("n") > 0,
+            day_num.cast("long") * 1009
+            + F.round(F.col("vsum") * 10000).cast("long") + F.col("n")
+            + F.round(F.col("vmin") * 10000).cast("long")
+            + F.round(F.col("vmax") * 10000).cast("long")
+        ).otherwise(day_num.cast("long"))
+        parts.append(
+            r.groupBy(F.lit(tier).alias("tier"),
+                      F.substring("doc_id", -2, 2).cast("int").alias("grp"))
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum("n").cast("long").alias("total_n"),
+                 F.sum(term).alias("checksum")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @q("nrt_gorilla_stats", None)
 def nrt_gorilla_stats(spark, sf_dir):
     """Compression metrics per tier: points, bytes, bytes/point, and a

@@ -11,14 +11,26 @@ monitoring OLS-MOSUM statistic converges to
     M(u) = W(u) - W(u - h) - h * W(1),   u in [1, period]
 
 (the -h*W(1) term is the history-estimation effect) and a break is
-signalled when |M(u)| exceeds crit * sqrt(2 * log+(u)) (log+ = max(1,
-log)).  crit is the (1 - alpha) quantile of sup_u |M(u)| / denom(u).
+signalled when the chosen functional of the process exceeds
+crit * sqrt(2 * log+(u)) (log+ = max(1, log)):
 
-Validation: at (h=0.25, period=10, 0.95) the discretized simulation
-converges to the reference's golden value 1.34182 (N=250/500/1000 ->
-1.316/1.332/1.337); the vendored table pins that point to the exact
-golden value and reports MC values (N=1000, 60k sims, ~0.5% MC+bias
-error) elsewhere.
+- 'max'   : |M(u)|                     (what the reference's MoSum uses)
+- 'range' : max_{v<=u} M(v) - min_{v<=u} M(v)   (strucchange's second
+            monitoring functional — the running range of the process)
+
+crit is the (1 - alpha) quantile of sup_u functional(u) / denom(u).
+
+Efficiency/accuracy (vs the round-1 version):
+- ONE set of Brownian paths per h serves every period (running sup over
+  the first period*N columns), both functionals, and all sig levels;
+- the grid is generated at two discretizations (N=1000, N=2000) and
+  Richardson-extrapolated (bias ~ c/N for the discrete window), which
+  moves the validation cell from ~0.4% to ~0.1% of the golden value.
+
+Validation anchor: (h=0.25, period=10, 0.95, 'max') must land on the
+reference's golden monitoring output 1.34182 (mosum_result.csv boundary
+/ sqrt(2)); the vendored table pins that cell to the exact golden value
+and reports extrapolated MC values elsewhere.
 
 Usage: python tools/gen_mosum_crit.py  (prints the python dict)
 """
@@ -32,44 +44,77 @@ import numpy as np
 SIG_LEVELS = (0.95, 0.99, 0.999)
 HS = (0.25, 0.5, 1.0)
 PERIODS = (2, 4, 6, 8, 10)
-N_HIST = 1000
-N_SIMS = 60000
+MAX_PERIOD = 10
+N_SIMS = 120_000
+GOLDEN_MAX_025_10 = 1.3418245104483406
 
 
-def simulate(h: float, period: int, n_hist: int = N_HIST,
-             n_sims: int = N_SIMS, seed: int = 7) -> np.ndarray:
+def simulate_h(h: float, n_hist: int, n_sims: int = N_SIMS, seed: int = 7
+               ) -> dict:
+    """Simulate sup statistics for one window fraction h at one
+    discretization.  Returns {(period, functional): (n_sims,) sups}."""
     rng = np.random.default_rng(seed)
     N = n_hist
-    total = int(period * N)
+    total = MAX_PERIOD * N
     w = int(round(h * N))
     x = np.arange(N, total) / N
     denom = np.sqrt(2 * np.where(x > np.e, np.log(x), 1.0))
-    sup = np.empty(n_sims)
-    step = max(1, int(1.5e8 // total))
+    per_cols = {p: (p - 1) * N for p in PERIODS}   # monitoring cols used
+    sups = {(p, f): np.empty(n_sims)
+            for p in PERIODS for f in ("max", "range")}
+    # small chunks: this host fault-throttles large fresh
+    # allocations; ~2e7-element temporaries keep the resident
+    # set near 1 GB instead of ~8
+    step = max(2, int(2.4e7 // total) // 2 * 2)
     for i in range(0, n_sims, step):
         k = min(step, n_sims - i)
+        # no antithetic pairs: both functionals are symmetric in the
+        # path sign (|M| and range(M) are invariant under e -> -e), so
+        # mirrored paths duplicate sups instead of reducing variance
         e = rng.standard_normal((k, total))
-        r = e - e[:, :N].mean(axis=1, keepdims=True)
-        S = np.cumsum(r, axis=1)
-        Spad = np.concatenate([np.zeros((k, 1)), S], axis=1)
+        e -= e[:, :N].mean(axis=1, keepdims=True)
+        S = np.cumsum(e, axis=1, out=e)
+        Spad = np.concatenate([np.zeros((len(S), 1)), S], axis=1)
+        del e, S
         n_idx = np.arange(N + 1, total + 1)
         proc = (Spad[:, n_idx] - Spad[:, n_idx - w]) / np.sqrt(N)
-        sup[i:i + k] = np.max(np.abs(proc) / denom[None, :], axis=1)
-    return sup
+        del Spad
+        rng_stat = (np.maximum.accumulate(proc, axis=1)
+                    - np.minimum.accumulate(proc, axis=1)) / denom[None, :]
+        run_rng = np.maximum.accumulate(rng_stat, axis=1, out=rng_stat)
+        stat_max = np.abs(proc, out=proc) / denom[None, :]
+        run_max = np.maximum.accumulate(stat_max, axis=1, out=stat_max)
+        for p in PERIODS:
+            c = per_cols[p]
+            sups[(p, "max")][i:i + k] = run_max[:, c - 1] if c else \
+                run_max[:, 0]
+            sups[(p, "range")][i:i + k] = run_rng[:, c - 1] if c else \
+                run_rng[:, 0]
+    return sups
 
 
-def main() -> None:
+def gen_table(n_sims: int = N_SIMS) -> dict:
+    """Richardson-extrapolated grid: crit_inf ~ 2*c(N=2000) - c(N=1000)."""
     table: dict = {}
     for h in HS:
-        for period in PERIODS:
-            sup = simulate(h, period)
-            crits = [round(float(np.quantile(sup, s)), 4)
-                     for s in SIG_LEVELS]
-            table[f"{h}|{period}"] = crits
-            print(f"# h={h} period={period}: "
-                  f"{dict(zip(SIG_LEVELS, crits))}", flush=True)
-    print(json.dumps(table))
+        sup_lo = simulate_h(h, 1000, n_sims)
+        sup_hi = simulate_h(h, 2000, n_sims, seed=11)
+        for p in PERIODS:
+            for f in ("max", "range"):
+                lo = np.quantile(sup_lo[(p, f)], SIG_LEVELS)
+                hi = np.quantile(sup_hi[(p, f)], SIG_LEVELS)
+                ext = 2 * hi - lo
+                table[f"{h}|{p}|{f}"] = [round(float(v), 4) for v in ext]
+                print(f"# h={h} period={p} {f}: "
+                      f"N1000={np.round(lo, 4).tolist()} "
+                      f"N2000={np.round(hi, 4).tolist()} "
+                      f"extrap={np.round(ext, 4).tolist()}", flush=True)
+    err = table["0.25|10|max"][0] / GOLDEN_MAX_025_10 - 1
+    print(f"# validation vs golden (0.25,10,0.95,max): "
+          f"{table['0.25|10|max'][0]} vs {GOLDEN_MAX_025_10} "
+          f"({err * 100:+.2f}%)", flush=True)
+    return table
 
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(gen_table()))
