@@ -2,9 +2,11 @@
 
 ``entry`` runs the flagship pipeline on sf0.001; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2 (see
-``nrt_spark/queries.py`` for the registry; SQL-inexpressible operators —
-the sequential monitor engine, LSH internals, Gorilla compression — have
-no oracle entry and get rows-only checks).
+``nrt_spark/queries.py`` for the registry).  The sequential monitor
+reports and the tier rollups carry GENERATED oracles (the
+single-process numpy twin rendered as SQL literals, nrt_spark/oracle.py);
+only inherently engine-specific operators — HLL sketches, LSH/IVF
+internals, Gorilla stats, the streaming sink — remain rows-only.
 """
 
 from __future__ import annotations

@@ -172,33 +172,55 @@ def cusum_ols_test_crit(alpha: float) -> float:
     return 0.5 * (lo + hi)
 
 
-#: Vendored OLS-MOSUM critical values for the 'max' functional over the
-#: full (h, period) grid the reference validates (utils_efp.py:145-166;
-#: the reference reads strucchange's table from the external nrt-data
-#: package).  Values regenerated by Monte Carlo from the published limit
-#: process (tools/gen_mosum_crit.py; N=1000 steps/history, 60k sims,
-#: ~0.5% MC+discretization error).  The (h=0.25, period=10, sig=0.95)
-#: point is pinned to the exact value implied by the reference's golden
-#: monitoring output (mosum_result.csv: boundary/sqrt(2)); the MC value
-#: for that point (1.3374) validates the simulation.  Only the h=0.25
-#: column is externally cross-checked; 'range' functional not vendored.
+#: Vendored OLS-MOSUM critical values for BOTH monitoring functionals
+#: ('max' = sup |M(u)|, 'range' = sup of the process's running
+#: max-minus-min) over the full (h, period) grid the reference
+#: validates (utils_efp.py:145-166; the reference reads strucchange's
+#: table from the external nrt-data package).  Values regenerated by
+#: Monte Carlo from the published limit process
+#: (tools/gen_mosum_crit.py; 120k paths at BOTH N=1000 and N=2000
+#: steps/history).  Estimator selection: discrete-grid sups
+#: underestimate the continuous sup and increase with N, and the one
+#: externally pinned cell — the reference's golden boundary at
+#: (h=0.25, period=10, 0.95, 'max'), 1.34182 — falls BETWEEN the two
+#: discretizations (N1000 1.3375, N2000 1.3457): strucchange's own
+#: table is finite-discretization MC.  The N1000/N2000 mean reproduces
+#: the pinned cell to -0.017% and is used for every cell; the pinned
+#: cell itself carries the exact golden value.  Continuum-extrapolated
+#: values (2*c2000 - c1000) run ~+0.9% above strucchange's table and
+#: are logged by the generator for reference.
 _MOSUM_SIG_LEVELS = (0.95, 0.99, 0.999)
 _MOSUM_CRIT = {
-    ("0.25", "2", "max"): (1.2219, 1.4225, 1.6709),
-    ("0.25", "4", "max"): (1.3301, 1.5178, 1.7479),
-    ("0.25", "6", "max"): (1.3347, 1.514, 1.7505),
-    ("0.25", "8", "max"): (1.3373, 1.5165, 1.7526),
-    ("0.25", "10", "max"): (1.3418245104483406, 1.5148, 1.7451),
-    ("0.5", "2", "max"): (1.6709, 2.0103, 2.4173),
-    ("0.5", "4", "max"): (1.8813, 2.1979, 2.5674),
-    ("0.5", "6", "max"): (1.893, 2.1997, 2.5817),
-    ("0.5", "8", "max"): (1.8964, 2.1955, 2.5754),
-    ("0.5", "10", "max"): (1.9007, 2.2032, 2.5464),
-    ("1", "2", "max"): (2.2186, 2.7469, 3.4488),
-    ("1", "4", "max"): (2.6897, 3.2481, 3.8769),
-    ("1", "6", "max"): (2.7206, 3.2681, 3.9152),
-    ("1", "8", "max"): (2.73, 3.2578, 3.9291),
-    ("1", "10", "max"): (2.7479, 3.2669, 3.8341),
+    ("0.25", "2", "max"): (1.2292, 1.4316, 1.6692),
+    ("0.25", "2", "range"): (1.8249, 2.0781, 2.3901),
+    ("0.25", "4", "max"): (1.3363, 1.5191, 1.7555),
+    ("0.25", "4", "range"): (2.0553, 2.2741, 2.5495),
+    ("0.25", "6", "max"): (1.3411, 1.5207, 1.7563),
+    ("0.25", "6", "range"): (2.0609, 2.2769, 2.5495),
+    ("0.25", "8", "max"): (1.3415, 1.5208, 1.7563),
+    ("0.25", "8", "range"): (2.0614, 2.2769, 2.5495),
+    ("0.25", "10", "max"): (1.3418245104483406, 1.5208, 1.7563),
+    ("0.25", "10", "range"): (2.0615, 2.2769, 2.5495),
+    ("0.5", "2", "max"): (1.6843, 2.0309, 2.4255),
+    ("0.5", "2", "range"): (2.2271, 2.6176, 3.0823),
+    ("0.5", "4", "max"): (1.8885, 2.1985, 2.5574),
+    ("0.5", "4", "range"): (2.6333, 2.9713, 3.3645),
+    ("0.5", "6", "max"): (1.9005, 2.2019, 2.5602),
+    ("0.5", "6", "range"): (2.6519, 2.9788, 3.367),
+    ("0.5", "8", "max"): (1.902, 2.202, 2.5602),
+    ("0.5", "8", "range"): (2.6552, 2.9794, 3.367),
+    ("0.5", "10", "max"): (1.9024, 2.202, 2.5602),
+    ("0.5", "10", "range"): (2.6561, 2.9795, 3.367),
+    ("1", "2", "max"): (2.2269, 2.7979, 3.4417),
+    ("1", "2", "range"): (2.4663, 3.0036, 3.6169),
+    ("1", "4", "max"): (2.7054, 3.2458, 3.8523),
+    ("1", "4", "range"): (3.258, 3.7538, 4.3535),
+    ("1", "6", "max"): (2.735, 3.2606, 3.8604),
+    ("1", "6", "range"): (3.3137, 3.7824, 4.3614),
+    ("1", "8", "max"): (2.7419, 3.2621, 3.8604),
+    ("1", "8", "range"): (3.3251, 3.7863, 4.3634),
+    ("1", "10", "max"): (2.7433, 3.2626, 3.8604),
+    ("1", "10", "range"): (3.3299, 3.787, 4.3634),
 }
 
 
@@ -208,7 +230,7 @@ def mosum_ols_test_crit(alpha: float, h: float = 0.5, period: int = 10,
 
     Signature and validation mirror the reference (``utils_efp.py:145-166``):
     alpha must lie in [0.001, 0.05], h in {0.25, 0.5, 1}, period in
-    {2, 4, 6, 8, 10}.
+    {2, 4, 6, 8, 10}, functional in {'max', 'range'}.
     """
     if not 0.001 <= alpha <= 0.05:
         raise ValueError("'alpha' needs to be between [0.001,0.05]")

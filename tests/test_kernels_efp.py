@@ -77,13 +77,34 @@ def test_recresid_golden(romania, ref_data_dir):
 
 def test_mosum_crit_full_grid():
     """The MC-generated grid: monotone in h and alpha, pinned golden
-    point exact, all 15 (h, period) combos served."""
-    for h in (0.25, 0.5, 1):
-        for period in (2, 4, 6, 8, 10):
-            c05 = efp.mosum_ols_test_crit(0.05, h=h, period=period)
-            c001 = efp.mosum_ols_test_crit(0.001, h=h, period=period)
-            assert 0 < c05 < c001 < 5
+    point exact, all 15 (h, period) combos served — for BOTH
+    functionals."""
+    for functional in ("max", "range"):
+        for h in (0.25, 0.5, 1):
+            for period in (2, 4, 6, 8, 10):
+                c05 = efp.mosum_ols_test_crit(0.05, h=h, period=period,
+                                              functional=functional)
+                c001 = efp.mosum_ols_test_crit(0.001, h=h, period=period,
+                                               functional=functional)
+                assert 0 < c05 < c001 < 5
     # crit grows with window fraction h (wider window -> larger variance)
     assert (efp.mosum_ols_test_crit(0.05, h=0.25, period=10)
             < efp.mosum_ols_test_crit(0.05, h=0.5, period=10)
             < efp.mosum_ols_test_crit(0.05, h=1, period=10))
+    # the running range dominates the sup norm at every grid cell
+    for h in (0.25, 0.5, 1):
+        for period in (2, 4, 6, 8, 10):
+            assert (efp.mosum_ols_test_crit(0.05, h=h, period=period,
+                                            functional="range")
+                    > efp.mosum_ols_test_crit(0.05, h=h, period=period,
+                                              functional="max"))
+    # crit is nondecreasing in period (longer monitoring -> larger sup)
+    for functional in ("max", "range"):
+        for h in (0.25, 0.5, 1):
+            crits = [efp.mosum_ols_test_crit(0.05, h=h, period=p,
+                                             functional=functional)
+                     for p in (2, 4, 6, 8, 10)]
+            assert all(a <= b + 1e-9 for a, b in zip(crits, crits[1:]))
+    # an unknown functional is a KeyError-equivalent ValueError
+    with pytest.raises(ValueError):
+        efp.mosum_ols_test_crit(0.05, h=0.5, period=10, functional="sup")
