@@ -247,7 +247,8 @@ print(time.time() - t0)
     }
 
 
-def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
+def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None,
+                repeats: int = 2) -> dict:
     """The north-rule evidence: the same job at local[N] and local[4N]
     in fresh JVMs over the same input.
 
@@ -255,18 +256,34 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
     ~2.9x the 8-core throughput even for plain multiprocessing (SMT +
     shared host), so pairs that touch the saturated top end measure the
     box, not the engine.  The 4->16 pair is also reported in BENCH.md.
+
+    Each leg runs ``repeats`` fresh JVMs and keeps the best throughput:
+    this host's run-to-run noise is up to ~70% (identical configs
+    measured 4.3M and 8.0M pts/s minutes apart), so single-shot legs
+    measure the box's mood, not the plan.  Per-leg raw numbers are
+    reported for transparency.
     """
     docs = docs or max(N_DOCS, 500_000)
-    results = {}
+    results: dict = {}
+    raw: dict = {}
     for cores in (n, 4 * n):
-        cmd = [sys.executable, __file__, "--cores", str(cores),
-               "--pipeline-only", "--sf-dir", sf_dir]
-        env = dict(os.environ, SPARK_GRAFT_BENCH_DOCS=str(docs))
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        best = None
+        raw[cores] = []
+        for _ in range(repeats):
+            cmd = [sys.executable, __file__, "--cores", str(cores),
+                   "--pipeline-only", "--sf-dir", sf_dir]
+            env = dict(os.environ, SPARK_GRAFT_BENCH_DOCS=str(docs))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            raw[cores].append(r["rollup_points_per_sec"])
+            if best is None or r["rollup_points_per_sec"] > \
+                    best["rollup_points_per_sec"]:
+                best = r
+        results[cores] = best
     tp_n = results[n]["rollup_points_per_sec"]
     tp_4n = results[4 * n]["rollup_points_per_sec"]
     return {
@@ -276,7 +293,9 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None) -> dict:
         "speedup": round(tp_4n / tp_n, 3),
         "scaling_efficiency": round(tp_4n / tp_n / 4.0, 3),
         "bytes_per_point": results[4 * n]["bytes_per_point"],
+        "decode_points_per_sec": results[4 * n]["decode_points_per_sec"],
         "rolled_points": results[4 * n]["rolled_points"],
+        "raw_runs": raw,
     }
 
 
@@ -287,12 +306,15 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-n", type=int, default=2,
                     help="scaling pair is local[N] vs local[4N]")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="fresh JVMs per scaling leg (best kept)")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--fit-bench", action="store_true")
     ap.add_argument("--single-node", action="store_true")
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, n=args.scale_n)))
+        print(json.dumps(run_scaling(args.sf_dir, n=args.scale_n,
+                                     repeats=args.repeats)))
     elif args.fit_bench:
         print(json.dumps(run_fit_bench(args.cores)))
     elif args.single_node:
