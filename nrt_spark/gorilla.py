@@ -688,7 +688,8 @@ def _decode_int_streams_one(blobs: list[bytes]) -> list[np.ndarray]:
     has1 = n > 1
     delta = _to_signed(_read_bits_vec(data, cur, np.where(has1, 64, 0)))
     cur += np.where(has1, 64, 0)
-    vals[has1, 1] = first[has1] + delta[has1]
+    if maxn > 1:     # numpy bounds-checks the column even for empty masks
+        vals[has1, 1] = first[has1] + delta[has1]
     prev = np.where(has1, first + delta, first)
     klass = np.zeros(nb, dtype=np.int64)
     pw = np.zeros(nb, dtype=np.int64)

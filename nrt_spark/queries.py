@@ -1221,6 +1221,36 @@ def nrt_ccdc_report(spark, sf_dir):
     return _datagen_report(spark, "ccdc", method="OLS")
 
 
+@q("nrt_incremental_report",
+   lambda: _report_oracle_sql("cusum", trend=False, method="OLS"))
+def nrt_incremental_report(spark, sf_dir):
+    """Incremental ingest path (reference W7/S4): the monitoring period
+    arrives as LONG-FORM observations in two separate ``monitor_obs``
+    calls (new acquisitions land as points, not re-shipped series).
+    Chunked sequential advance must land byte-exactly where the full
+    batch monitor lands — the oracle is the SAME numpy twin that checks
+    ``nrt_cusum_report``, so the driver certifies resume/idempotence,
+    not just the kernels."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+    from nrt_spark.tokens import decode_long
+
+    toks = generate_tokens(spark, 300, n_obs=130)
+    eng = NrtEngine(spark, "cusum", num_buckets=16, trend=False,
+                    method="OLS")
+    state = eng.fit(toks, history_end="2016-05-10")
+    obs = (decode_long(toks).filter(F.col("ts") > "2016-05-10")
+           .select("doc_id", "ts", "value"))
+    state = eng.monitor_obs(state, obs.filter(F.col("ts") <= "2017-06-01"))
+    state = eng.monitor_obs(state, obs.filter(F.col("ts") > "2017-06-01"))
+    rep = NrtEngine.report(state)
+    return rep.select(
+        "doc_id", F.col("mask").cast("int").alias("mask"),
+        F.col("detection_date").cast("int").alias("detection_date"),
+        F.when(F.isnan("process"), None).otherwise(F.col("process"))
+        .alias("process"))
+
+
 @q("nrt_rollup_day_tier", None)
 def nrt_rollup_day_tier(spark, sf_dir):
     """Day-tier continuous aggregate over the token table."""

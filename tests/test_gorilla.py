@@ -149,3 +149,28 @@ def test_batched_decode_matches_per_point():
             decode_values(blob).view(np.uint64), batched.view(np.uint64))
     for blob, batched in zip(ib, decode_int_streams(ib)):
         np.testing.assert_array_equal(decode_timestamps(blob), batched)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                                   width=64),
+                         min_size=0, max_size=40),
+                min_size=0, max_size=8))
+def test_batched_float_decode_property(streams):
+    """Hypothesis: batched decode inverts batched encode bit-for-bit on
+    arbitrary float64 payloads (NaN payloads compared as bit patterns)."""
+    arrs = [np.asarray(s, dtype=np.float64) for s in streams]
+    blobs = g.encode_float_streams(arrs)
+    for a, b in zip(arrs, g.decode_float_streams(blobs)):
+        np.testing.assert_array_equal(a.view(np.uint64), b.view(np.uint64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                         min_size=0, max_size=40),
+                min_size=0, max_size=8))
+def test_batched_int_decode_property(streams):
+    arrs = [np.asarray(s, dtype=np.int64) for s in streams]
+    blobs = g.encode_int_streams(arrs)
+    for a, b in zip(arrs, g.decode_int_streams(blobs)):
+        np.testing.assert_array_equal(a, b)

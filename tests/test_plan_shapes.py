@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale properties that matter at
+100 TB are plan SHAPES (pushdown, pruning, broadcast, no cross joins,
+no needless Exchange).  These tests pin them so a refactor that quietly
+degrades a plan fails CI, not a cluster bill."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from nrt_spark import queries as Q
+
+SF_DIR = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(not Path(SF_DIR).exists(),
+                                reason="driver testdata not present")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(Q.queries()["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan, "shipdate filter must reach the parquet scan"
+    # column pruning: the wide comment column must not be read
+    assert "l_comment" not in plan
+
+
+def test_star_joins_broadcast(spark):
+    for name in ("region_revenue", "supplier_part_revenue"):
+        plan = plan_of(Q.queries()[name](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") == 3, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_asof_join_has_no_join(spark):
+    """The union+window as-of rewrite: ONE window pass, zero joins —
+    the property that makes it linear on a hot user."""
+    plan = plan_of(Q.queries()["asof_join_clicks"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_neardup_plans_have_no_cross_join(spark):
+    for name in ("embedding_neardup_lsh", "dedup_jaccard_pairs",
+                 "minhash_lsh_pairs", "dedup_edit_distance"):
+        plan = plan_of(Q.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_fastpath_has_no_exchange(spark):
+    """The north-rule job is a single mapInPandas pass: scaling bounded
+    by input splits only."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.fastpath import rollup_compress_tokens
+
+    toks = generate_tokens(spark, 50, n_obs=30)
+    plan = plan_of(rollup_compress_tokens(toks))
+    assert "Exchange" not in plan
+
+
+def test_decompress_has_no_exchange(spark):
+    """Read path: blocks -> long form without a shuffle or explode."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.fastpath import rollup_compress_tokens
+    from nrt_spark.compress import decompress_tier
+
+    toks = generate_tokens(spark, 50, n_obs=30)
+    plan = plan_of(decompress_tier(rollup_compress_tokens(toks)))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan        # no JVM explode
+
+
+def test_monitor_cogroup_single_shuffle_per_side(spark):
+    """state ⋈ obs is a cogroup (no separate join stage): exactly one
+    Exchange per input, keyed on the bucket."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+
+    toks = generate_tokens(spark, 50, n_obs=30)
+    eng = NrtEngine(spark, "ewma", num_buckets=4, trend=False)
+    state = eng.fit(toks, history_end="2015-03-01")
+    plan = plan_of(eng.monitor(state, toks))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 3   # state side, obs side (+AQE reuse)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
