@@ -32,7 +32,8 @@ from nrt_spark.tokens import grid_days, tokens_to_matrix
 
 def generate_tokens_local(n_docs: int, n_obs: int = 130,
                           break_frac: float = 0.5, gap_frac: float = 0.08,
-                          noise: float = 0.02) -> pd.DataFrame:
+                          noise: float = 0.02, bands: bool = False
+                          ) -> pd.DataFrame:
     """Numpy twin of :func:`nrt_spark.datagen.generate_tokens` (token
     stream only; ``source`` is not reproduced — it derives from a second
     hash the report pipeline never reads)."""
@@ -42,7 +43,36 @@ def generate_tokens_local(n_docs: int, n_obs: int = 130,
     pdf = pd.DataFrame({"doc_id": doc_ids, "seed64": seeds,
                         "src_u": np.zeros(n_docs)})
     return _gen_batch(pdf, n_obs, break_frac, gap_frac, noise,
-                      bands=False, outlier_frac=0.0)
+                      bands=bands, outlier_frac=0.0)
+
+
+def band_ratio_checksum_oracle(n_docs: int = 200, n_obs: int = 60
+                               ) -> pd.DataFrame:
+    """Expected per-doc-group checksums for the band-ratio projection
+    (F8: (swir-green)/(swir+green), gap token -> NULL, inf/NaN -> NULL):
+    each valid (pos, ratio) contributes ``pos*31 + floor(ratio*1e6)``.
+    Ratios are identical doubles in both engines (same int/1e4 decode,
+    same subtract/add/divide), so the scaled rint is exact."""
+    toks = generate_tokens_local(n_docs, n_obs=n_obs, bands=True)
+    acc: dict = {}
+    for doc, g_tok, s_tok in zip(toks["doc_id"], toks["green_tokens"],
+                                 toks["swir_tokens"]):
+        g = np.asarray(g_tok, dtype=np.float64)
+        s = np.asarray(s_tok, dtype=np.float64)
+        gv = np.where(g == -1, np.nan, g / 10000.0)
+        sv = np.where(s == -1, np.nan, s / 10000.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = (sv - gv) / (sv + gv)
+        pos = np.arange(n_obs)
+        ok = np.isfinite(ratio)
+        # floor matches Spark's floor with no rounding tie rule
+        term = pos[ok] * 31 + np.floor(ratio[ok] * 1e6).astype(np.int64)
+        grp = int(doc[-2:])
+        cur = acc.setdefault(grp, [0, 0])
+        cur[0] += int(ok.sum())
+        cur[1] += int(term.sum())
+    rows = [(g, n, ck) for g, (n, ck) in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["grp", "n_points", "checksum"])
 
 
 def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130

@@ -1149,6 +1149,50 @@ def band_ratio_projection(spark, sf_dir):
         F.round(F.when(F.isnan(ratio), None).otherwise(ratio), 6)
         .alias("ndvi_like")).filter(F.col("ndvi_like").isNotNull())
 
+def _band_ratio_checksum_sql() -> str:
+    from nrt_spark.oracle import band_ratio_checksum_oracle
+
+    pdf = band_ratio_checksum_oracle(n_docs=200, n_obs=60)
+    rows = ",\n".join(f"({int(g)}, {int(n)}, {int(ck)})"
+                      for g, n, ck in pdf.itertuples(index=False))
+    return ("SELECT CAST(grp AS INT) AS grp, "
+            "CAST(n_points AS BIGINT) AS n_points, "
+            "CAST(checksum AS BIGINT) AS checksum FROM (VALUES\n" + rows
+            + "\n) t(grp, n_points, checksum)")
+
+
+@q("band_ratio_checksum", lambda: _band_ratio_checksum_sql())
+def band_ratio_checksum(spark, sf_dir):
+    """Driver-checked twin of band_ratio_projection (reference F8/S2):
+    per doc-group integer checksums over (pos, scaled ratio) of the
+    NDVI-like projection with gap->NULL and inf/NaN->NULL, compared
+    against the numpy twin (oracle.band_ratio_checksum_oracle).  Exact
+    because both engines decode the same int tokens to the same doubles
+    and compute the same (s-g)/(s+g)."""
+    from nrt_spark.datagen import generate_tokens
+
+    toks = generate_tokens(spark, 200, n_obs=60, bands=True)
+    long = toks.select(
+        "doc_id", F.posexplode(F.arrays_zip("green_tokens", "swir_tokens"))
+        .alias("pos", "z"))
+    g = F.when(F.col("z.green_tokens") == -1, None) \
+        .otherwise(F.col("z.green_tokens") / 10000.0)
+    s = F.when(F.col("z.swir_tokens") == -1, None) \
+        .otherwise(F.col("z.swir_tokens") / 10000.0)
+    long = long.withColumn("ratio", (s - g) / (s + g))
+    valid = (F.col("ratio").isNotNull() & ~F.isnan("ratio")
+             & (F.abs("ratio") != float("inf")))
+    # floor, not round: token ratios are small-integer rationals, so
+    # ratio*1e6 DOES land on exact .5 ties where round half-up (Spark)
+    # and half-even (numpy) diverge; floor has no tie rule
+    term = (F.col("pos").cast("long") * 31
+            + F.floor(F.col("ratio") * 1e6).cast("long"))
+    return (long.filter(valid)
+            .groupBy(F.substring("doc_id", -2, 2).cast("int").alias("grp"))
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(term).alias("checksum")))
+
+
 def _datagen_report(spark, monitor: str, **params):
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.engine import NrtEngine
