@@ -138,6 +138,51 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    the dedup-clustering step that turns near-dup PAIRS into canonical
+    groups (keep min doc per component, drop the rest).
+
+    Each round every node adopts the minimum component id among itself
+    and its neighbours; convergence takes O(component diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds in practice;
+    the O(log n) large-star/small-star variant is the drop-in upgrade
+    if diameters ever grow).  Each round is one shuffle on the node id;
+    lineage is truncated per round with ``localCheckpoint`` so the plan
+    does not grow with iterations.
+
+    Returns:
+        (node, component) — component = min node id reachable.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nb_min = (sym.join(labels.select(F.col("node").alias("b"),
+                                         F.col("component").alias("nc")),
+                           "b")
+                  .groupBy(F.col("a").alias("node"))
+                  .agg(F.min("nc").alias("nb_min")))
+        new = (labels.join(nb_min, "node", "left")
+               .select("node",
+                       F.least("component",
+                               F.coalesce("nb_min", "component"))
+                       .alias("component"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") < F.col("o.component"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per doc from word unigrams.
 

@@ -980,6 +980,147 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+def _dedup_clusters_sql() -> str:
+    """Transitive closure over the MinHash-LSH candidate pairs via a
+    recursive CTE — DuckDB's stand-in for the Spark min-label
+    propagation (tiny at oracle scale; the Spark side is the one that
+    has to survive 10^9 nodes)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+), comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS member_checksum
+FROM comp GROUP BY cluster_id
+"""
+
+
+@q("dedup_clusters", _dedup_clusters_sql())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: MinHash-LSH candidate pairs -> connected
+    components (iterative min-label propagation, one shuffle per round,
+    O(cluster diameter) rounds) -> one row per duplicate cluster with
+    the canonical (min) doc id.  This is the step that turns pair
+    mining into an actual dedup decision at 10^12 scale."""
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
+                                num_hashes=8, band_size=2,
+                                max_df=MAX_SHINGLE_DF)
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (comp.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("node").alias("member_checksum")))
+
+
+@q("sessionize_events", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 21600 THEN 1 ELSE 0 END
+           AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       CAST(max(sess_n) AS BIGINT) AS max_session_events,
+       count(*) AS n_events
+FROM (SELECT user_id, session_id,
+             count(*) OVER (PARTITION BY user_id, session_id) AS sess_n
+      FROM s)
+GROUP BY user_id
+""")
+def sessionize_events(spark, sf_dir):
+    """Sessionization (gaps-and-islands over event time, 6h idle gap):
+    the standard pre-processing step for behavioral training data.
+    Pure window functions — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_s = (us - F.lag(us).over(w)) / 1e6
+    o = ev.withColumn(
+        "new_s", F.when(F.lag("ts").over(w).isNull()
+                        | (gap_s > 21600), 1).otherwise(0))
+    s = o.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sess_n = F.count("*").over(W.partitionBy("user_id", "session_id"))
+    return (s.withColumn("sess_n", sess_n)
+            .groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.max("sess_n").alias("max_session_events"),
+                 F.count("*").alias("n_events")))
+
+
+@q("split_sample_docs", """
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (SELECT source, doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':split'), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+GROUP BY source, split
+""")
+def split_sample_docs(spark, sf_dir):
+    """Deterministic stratified train/val split (90/10) by content-free
+    id hash — the split survives any repartitioning, resharding or
+    re-run, which is what makes it usable as a 10^12-doc dataset
+    contract.  md5-derived so any engine reproduces the assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        1, 8), 16, 10).cast("long") % 100
+    return (docs.withColumn(
+                "split", F.when(h < 90, "train").otherwise("val"))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+@q("top_terms_by_source", r"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                             ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS n FROM words WHERE len(w) >= 5
+  GROUP BY source, w
+), r AS (
+  SELECT source, w, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
+  FROM cnt
+)
+SELECT source, rk, w AS term, n FROM r WHERE rk <= 5
+""")
+def top_terms_by_source(spark, sf_dir):
+    """Per-source vocabulary profile: top-5 terms (len >= 5) with a
+    total tiebreak — the corpus-analysis primitive behind domain mixing
+    decisions.  Partial-aggregated count + per-source top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(D.normalized_text(), " ")).alias("w")
+    ).filter(F.length("w") >= 5)
+    cnt = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("w"))
+    return (cnt.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+            .select("source", "rk", F.col("w").alias("term"), "n"))
+
+
 def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
                        threshold: float = 0.4, seed: str = "nrt") -> str:
     """Oracle for the LSH-bucketed near-dup pair miner: the hyperplanes

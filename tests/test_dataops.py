@@ -153,3 +153,21 @@ def test_lsh_neardup_recall_vs_brute(spark):
     # the candidate plan must not contain a cartesian/inequality join
     plan = lsh_neardup_pairs(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_connected_components(spark):
+    """Min-label propagation: a 5-node chain (worst-case diameter) plus
+    a separate triangle and an isolated pair resolve to three
+    components labeled by their min member."""
+    from nrt_spark.dataops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),       # chain
+         (10, 11), (11, 12), (12, 10),         # triangle
+         (20, 21)],                            # pair
+        "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
