@@ -14,8 +14,8 @@ from pyspark.sql import DataFrame, functions as F
 from nrt_spark.gorilla import (
     decode_float_streams,
     decode_int_streams,
-    encode_timestamps,
-    encode_values_fast,
+    encode_float_streams,
+    encode_int_streams,
 )
 
 _BLOCK_SCHEMA = "ts_block binary, val_block binary, n_points int"
@@ -35,15 +35,17 @@ def _compress_udf():
                              ) -> pd.DataFrame:
             import numpy as np
 
-            ts_blocks, val_blocks, ns = [], [], []
-            for secs, vals in zip(ts_arr, val_arr):
-                secs = np.asarray(secs, dtype=np.int64)
-                vals = np.asarray(vals, dtype=np.float64)
-                ts_blocks.append(encode_timestamps(secs))
-                val_blocks.append(encode_values_fast(vals))
-                ns.append(len(secs))
-            return pd.DataFrame({"ts_block": ts_blocks,
-                                 "val_block": val_blocks, "n_points": ns})
+            # batched encoders: every block of the Arrow batch in one
+            # set of numpy passes (byte-identical to the per-block
+            # encoders; see tests/test_gorilla.py)
+            ts_streams = [np.asarray(s, dtype=np.int64) for s in ts_arr]
+            val_streams = [np.asarray(v, dtype=np.float64)
+                           for v in val_arr]
+            return pd.DataFrame({
+                "ts_block": encode_int_streams(ts_streams),
+                "val_block": encode_float_streams(val_streams),
+                "n_points": [len(s) for s in ts_streams],
+            })
 
         _udf_cache["compress"] = _compress_points
     return _udf_cache["compress"]
