@@ -75,6 +75,36 @@ def band_ratio_checksum_oracle(n_docs: int = 200, n_obs: int = 60
     return pd.DataFrame(rows, columns=["grp", "n_points", "checksum"])
 
 
+def pack_checksum_oracle(n_docs: int = 300, n_obs: int = 130,
+                         seq_len: int = 512, num_shards: int = 16
+                         ) -> pd.DataFrame:
+    """Expected per-shard packing checksums for the synthetic token
+    table: reproduces tokens.pack_sequences (doc_id-ordered concat with
+    EOS, seq_len chunks, PAD tail) in one process.  Checksum term per
+    pack: ``pack_idx * 131 + sum(tokens)`` (int64-exact)."""
+    from nrt_spark.tokens import EOS_TOKEN, PAD_TOKEN
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    toks["shard"] = [spark_xxhash64_str(d) % num_shards
+                     for d in toks["doc_id"]]
+    rows = []
+    for shard, grp in toks.sort_values("doc_id").groupby("shard"):
+        streams = []
+        for t in grp["tokens"]:
+            streams.append(np.asarray(t, dtype=np.int64))
+            streams.append(np.array([EOS_TOKEN], dtype=np.int64))
+        flat = np.concatenate(streams)
+        n_real = len(flat)
+        pad = (-n_real) % seq_len
+        flat = np.concatenate([flat, np.full(pad, PAD_TOKEN,
+                                             dtype=np.int64)])
+        packs = flat.reshape(-1, seq_len)
+        ck = int(sum(i * 131 + int(p.sum()) for i, p in enumerate(packs)))
+        rows.append((int(shard), len(packs), n_real, ck))
+    return pd.DataFrame(rows, columns=["shard", "n_packs", "total_real",
+                                       "checksum"]).sort_values("shard")
+
+
 def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
                            ) -> pd.DataFrame:
     """Expected per-(tier, doc-group) rollup checksums for the synthetic

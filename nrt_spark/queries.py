@@ -1451,6 +1451,41 @@ def nrt_rollup_day_tier(spark, sf_dir):
                       F.round("vmax", 6).alias("vmax"))
 
 
+def _pack_checksum_sql() -> str:
+    from nrt_spark.oracle import pack_checksum_oracle
+
+    pdf = pack_checksum_oracle(n_docs=300, n_obs=130, seq_len=512,
+                               num_shards=16)
+    rows = ",\n".join(
+        f"({int(s)}, {int(np_)}, {int(tr)}, {int(ck)})"
+        for s, np_, tr, ck in pdf.itertuples(index=False))
+    return ("SELECT CAST(shard AS INT) AS shard, "
+            "CAST(n_packs AS BIGINT) AS n_packs, "
+            "CAST(total_real AS BIGINT) AS total_real, "
+            "CAST(checksum AS BIGINT) AS checksum FROM (VALUES\n" + rows
+            + "\n) t(shard, n_packs, total_real, checksum)")
+
+
+@q("pack_token_sequences", lambda: _pack_checksum_sql())
+def pack_token_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk into fixed 512-token training
+    rows, EOS between docs, PAD tail; one shuffle on the shard key) —
+    certified per shard against the numpy twin via integer checksums
+    over (pack_idx, token sums)."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import pack_sequences
+
+    toks = generate_tokens(spark, 300, n_obs=130)
+    packed = pack_sequences(toks, seq_len=512, num_shards=16)
+    term = (F.col("pack_idx") * 131
+            + F.aggregate("tokens", F.lit(0).cast("long"),
+                          lambda acc, t: acc + t.cast("long")))
+    return (packed.groupBy("shard")
+            .agg(F.count("*").alias("n_packs"),
+                 F.sum("n_real").cast("long").alias("total_real"),
+                 F.sum(term).alias("checksum")))
+
+
 def _rollup_checksum_oracle_sql() -> str:
     """VALUES-literal oracle from the numpy rollup twin (all-integer
     output, so the compare is exact by construction)."""

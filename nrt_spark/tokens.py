@@ -67,6 +67,66 @@ def grid_days(n: int) -> np.ndarray:
     return EPOCH_DAY + CADENCE_DAYS * np.arange(n, dtype=np.int64)
 
 
+EOS_TOKEN = -2
+PAD_TOKEN = -3
+
+
+def pack_sequences(tokens_df: DataFrame, seq_len: int = 512,
+                   num_shards: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing: the training-data step that
+    turns variable-length token documents into fixed-length model rows.
+
+    Contract (fully deterministic, any partitioning):
+    - each doc goes to shard ``pmod(xxhash64(doc_id), num_shards)``;
+    - within a shard, docs are concatenated in doc_id order with one
+      ``EOS_TOKEN`` after each doc, then chunked into ``seq_len`` rows;
+    - the final partial chunk is right-padded with ``PAD_TOKEN``.
+
+    Scale shape: ONE shuffle on the shard key, then a grouped-map pandas
+    UDF whose per-group work is pure numpy concatenate/reshape.  Packing
+    is embarrassingly parallel across shards; global-order packing would
+    serialize, which is why real pipelines pack per shard.
+
+    Returns:
+        (shard int, pack_idx long, tokens array<int>, n_real int) —
+        ``n_real`` counts non-pad positions.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def pack_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=["shard", "pack_idx", "tokens",
+                                         "n_real"])
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        streams = []
+        for t in pdf["tokens"]:
+            streams.append(np.asarray(t, dtype=np.int32))
+            streams.append(np.array([EOS_TOKEN], dtype=np.int32))
+        flat = np.concatenate(streams)
+        n_real = len(flat)
+        pad = (-n_real) % seq_len
+        flat = np.concatenate([flat, np.full(pad, PAD_TOKEN,
+                                             dtype=np.int32)])
+        packs = flat.reshape(-1, seq_len)
+        reals = np.full(len(packs), seq_len, dtype=np.int32)
+        if pad:
+            reals[-1] = seq_len - pad
+        return pd.DataFrame({
+            "shard": np.full(len(packs), shard, dtype=np.int32),
+            "pack_idx": np.arange(len(packs), dtype=np.int64),
+            "tokens": list(packs),
+            "n_real": reals,
+        })
+
+    sharded = tokens_df.select("doc_id", "tokens").withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)).cast("int"))
+    return sharded.groupBy("shard").applyInPandas(
+        pack_fn,
+        "shard int, pack_idx long, tokens array<int>, n_real int")
+
+
 def values_to_tokens(values: np.ndarray) -> np.ndarray:
     """Inverse decode: float values -> int32 tokens (NaN -> gap token).
 

@@ -171,3 +171,36 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing: every row is exactly seq_len tokens; total real tokens =
+    sum(n_tok) + one EOS per doc; shards partition the docs; packing is
+    invariant to input partitioning."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.tokens import pack_sequences, EOS_TOKEN, PAD_TOKEN
+
+    toks = generate_tokens(spark, 120, n_obs=70)
+    packed = pack_sequences(toks, seq_len=256, num_shards=8).toPandas()
+    assert all(len(t) == 256 for t in packed["tokens"])
+    total_real = int(packed["n_real"].sum())
+    expect = int(toks.agg(F.sum("n_tok")).first()[0]) + 120  # + EOS each
+    assert total_real == expect
+    eos = sum(int((np.asarray(t) == EOS_TOKEN).sum())
+              for t in packed["tokens"])
+    assert eos == 120
+    # pads only appear in each shard's final pack
+    last = packed.sort_values("pack_idx").groupby("shard").tail(1)
+    pad_total = sum(int((np.asarray(t) == PAD_TOKEN).sum())
+                    for t in packed["tokens"])
+    pad_last = sum(int((np.asarray(t) == PAD_TOKEN).sum())
+                   for t in last["tokens"])
+    assert pad_total == pad_last
+    # repartitioning must not change the packing
+    repacked = pack_sequences(toks.repartition(13), seq_len=256,
+                              num_shards=8).toPandas()
+    a = packed.sort_values(["shard", "pack_idx"]).reset_index(drop=True)
+    b = repacked.sort_values(["shard", "pack_idx"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for ta, tb in zip(a["tokens"], b["tokens"]):
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
