@@ -145,12 +145,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     groups (keep min doc per component, drop the rest).
 
     Each round every node adopts the minimum component id among itself
-    and its neighbours; convergence takes O(component diameter) rounds
-    (near-dup clusters are shallow — a handful of rounds in practice;
-    the O(log n) large-star/small-star variant is the drop-in upgrade
-    if diameters ever grow).  Each round is one shuffle on the node id;
-    lineage is truncated per round with ``localCheckpoint`` so the plan
-    does not grow with iterations.
+    and its neighbours, then jumps through its label's own label
+    (pointer doubling), so convergence takes O(log diameter) rounds —
+    ``max_iter`` = 20 covers diameters up to ~2^20.  Each round is a
+    bounded number of shuffles on the node id; lineage is truncated per
+    round with ``localCheckpoint`` so the plan does not grow with
+    iterations.  Raises if the budget is exhausted before convergence
+    (silent partial components would corrupt a dedup decision).
 
     Returns:
         (node, component) — component = min node id reachable.
@@ -171,6 +172,15 @@ def connected_components(edges: DataFrame, src: str = "src",
                .select("node",
                        F.least("component",
                                F.coalesce("nb_min", "component"))
+                       .alias("component")))
+        # pointer doubling: follow the label's own label so chains halve
+        # every round instead of shrinking by one hop
+        parent = new.select(F.col("node").alias("pnode"),
+                            F.col("component").alias("parent"))
+        new = (new.join(parent, new.component == parent.pnode, "left")
+               .select("node",
+                       F.least("component",
+                               F.coalesce("parent", "component"))
                        .alias("component"))
                .localCheckpoint())
         changed = (new.alias("n")
@@ -179,8 +189,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                    .limit(1).count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter > ~2^{max_iter}); raise max_iter")
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

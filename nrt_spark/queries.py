@@ -1351,6 +1351,9 @@ def _datagen_report(spark, monitor: str, **params):
         .alias("process"))
 
 
+_report_sql_cache: dict = {}
+
+
 def _report_oracle_sql(monitor: str, **params):
     """Cross-engine oracle for the monitor reports: the single-process
     numpy pipeline (nrt_spark.oracle — same deterministic datagen via a
@@ -1360,20 +1363,26 @@ def _report_oracle_sql(monitor: str, **params):
     state⋈obs alignment, last_day masking) byte-exactly.  Floats go
     through string->DOUBLE casts: repr() round-trips doubles exactly,
     while a bare decimal literal would become DECIMAL in DuckDB and
-    double-round."""
+    double-round.  Cached by (monitor, params): nrt_cusum_report and
+    nrt_incremental_report share one generated oracle."""
     from nrt_spark.oracle import report_oracle
 
+    key = (monitor, tuple(sorted(params.items())))
+    if key in _report_sql_cache:
+        return _report_sql_cache[key]
     pdf = report_oracle(monitor, n_docs=300, n_obs=130, **params)
     rows = []
     for doc, mask, dd, proc in zip(pdf["doc_id"], pdf["mask"],
                                    pdf["detection_date"], pdf["process"]):
         p = "NULL" if (proc != proc) else f"CAST('{proc!r}' AS DOUBLE)"
         rows.append(f"('{doc}', {int(mask)}, {int(dd)}, {p})")
-    return ("SELECT doc_id, CAST(mask AS INT) AS mask, "
-            "CAST(detection_date AS INT) AS detection_date, "
-            "CAST(process AS DOUBLE) AS process FROM (VALUES\n"
-            + ",\n".join(rows)
-            + "\n) t(doc_id, mask, detection_date, process)")
+    sql = ("SELECT doc_id, CAST(mask AS INT) AS mask, "
+           "CAST(detection_date AS INT) AS detection_date, "
+           "CAST(process AS DOUBLE) AS process FROM (VALUES\n"
+           + ",\n".join(rows)
+           + "\n) t(doc_id, mask, detection_date, process)")
+    _report_sql_cache[key] = sql
+    return sql
 
 
 @q("nrt_ewma_report",
@@ -1630,9 +1639,12 @@ def nrt_streaming_rollup(spark, sf_dir):
              .option("checkpointLocation", tmp + "/ck")
              .trigger(availableNow=True).start())
     try:
-        query.awaitTermination(120)
+        finished = query.awaitTermination(120)
     finally:
         query.stop()
+    if not finished:
+        # partial buckets must fail loudly, not record as a clean run
+        raise TimeoutError("streaming rollup did not drain in 120s")
     return spark.sql(
         f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
         f"FROM {name}")

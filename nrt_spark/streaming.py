@@ -171,8 +171,9 @@ def rollup_stream_month(obs_stream, watermark: str = "3 days"):
     bounded state on an unbounded stream:
 
     - every micro-batch folds its rows into the per-month
-      (n, vsum, vmin, vmax) partials and emits a snapshot of each
-      touched-or-open month (``final = false`` — update semantics);
+      (n, vsum, vmin, vmax) partials and emits a snapshot of each month
+      TOUCHED in that batch (``final = false`` — update semantics; open
+      months with no new rows are not re-emitted);
     - months whose end is more than ``watermark`` behind the series'
       max event time are emitted once more with ``final = true`` and
       EVICTED from state;

@@ -156,21 +156,28 @@ def test_lsh_neardup_recall_vs_brute(spark):
 
 
 def test_connected_components(spark):
-    """Min-label propagation: a 5-node chain (worst-case diameter) plus
-    a separate triangle and an isolated pair resolve to three
-    components labeled by their min member."""
+    """Min-label propagation with pointer doubling: a 40-node chain
+    (diameter 39 — far beyond a per-hop algorithm's budget of 6 rounds)
+    plus a triangle and an isolated pair resolve to three components
+    labeled by their min member."""
     from nrt_spark.dataops.dedup import connected_components
 
+    chain = [(i, i + 1) for i in range(1, 40)]
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (4, 5),       # chain
-         (10, 11), (11, 12), (12, 10),         # triangle
-         (20, 21)],                            # pair
+        chain + [(110, 111), (111, 112), (112, 110),   # triangle
+                 (120, 121)],                          # pair
         "src long, dst long")
     got = {r["node"]: r["component"]
-           for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10,
-                   20: 20, 21: 20}
+           for r in connected_components(edges, max_iter=6).collect()}
+    want = {i: 1 for i in range(1, 41)}
+    want.update({110: 110, 111: 110, 112: 110, 120: 120, 121: 120})
+    assert got == want
+
+    # non-convergence is loud, not silent: 1 round cannot close a chain
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            spark.createDataFrame(chain, "src long, dst long"), max_iter=1)
 
 
 def test_pack_sequences_invariants(spark):
