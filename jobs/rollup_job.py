@@ -67,7 +67,14 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("nrt_rollup_job").getOrCreate()
+    # under spark-submit these are no-ops (submit conf wins); when run
+    # as a plain script the defaults below stop the LOCAL driver JVM
+    # from capping at 1g and parquet writers from thrashing row groups
+    spark = (SparkSession.builder.appName("nrt_rollup_job")
+             .config("spark.driver.memory",
+                     os.environ.get("NRT_JOB_DRIVER_MEM", "8g"))
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     from nrt_spark.datagen import generate_tokens
