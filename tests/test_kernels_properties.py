@@ -58,3 +58,43 @@ def test_token_roundtrip_property(toks):
     y = tokens_to_matrix([t])[:, 0] if len(t) else np.array([])
     back = values_to_tokens(y)
     np.testing.assert_array_equal(back, t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.sampled_from(["ewma", "cusum", "mosum", "iqr", "ccdc"]),
+       st.integers(min_value=1, max_value=28),
+       st.integers(min_value=0, max_value=10 ** 6))
+def test_monitor_chunked_equals_full(monitor, cut, seed):
+    """Sequential-update invariant: feeding the monitoring period in two
+    chunks through run_monitor lands byte-exactly where one call lands —
+    the property that makes incremental/streaming ingest correct."""
+    import copy
+
+    from nrt_spark.kernels.monitors import (fit_state, resolve_params,
+                                            run_monitor)
+    from nrt_spark.tokens import grid_days
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    M, K = 90, 7
+    y = 0.4 + 0.05 * rng.standard_normal((M, K))
+    y[rng.random((M, K)) < 0.1] = np.nan
+    days = grid_days(M)
+    params = resolve_params(monitor, trend=False,
+                            **({"method": "OLS"}
+                               if monitor in ("cusum", "mosum", "ccdc")
+                               else {}))
+    hist = 60
+    full = fit_state(y[:hist], days[:hist], params)
+    chunked = copy.deepcopy(full)
+    run_monitor(full, y[hist:], days[hist:], params)
+    c = hist + cut
+    run_monitor(chunked, y[hist:c], days[hist:c], params)
+    run_monitor(chunked, y[c:], days[c:], params)
+    for key in full:
+        a, b = np.asarray(full[key]), np.asarray(chunked[key])
+        if a.dtype.kind == "f":
+            np.testing.assert_array_equal(np.nan_to_num(a, nan=-1.5),
+                                          np.nan_to_num(b, nan=-1.5),
+                                          err_msg=f"{monitor}.{key}")
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f"{monitor}.{key}")
