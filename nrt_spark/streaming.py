@@ -62,6 +62,11 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
     kstate = pdf_to_state(state_pdf)
     last_day = state_pdf["last_day"].to_numpy(dtype=np.int64)
     doc_pos = {d: i for i, d in enumerate(state_pdf["doc_id"])}
+    # duplicate (doc, day) rows: the fill loop below is last-write-wins,
+    # so order the rows deterministically (max value wins; NaN loses) —
+    # arrival order depends on partition layout and must not decide
+    obs = obs.sort_values(["day", "value"], na_position="first",
+                          kind="mergesort")
     days = np.sort(obs["day"].unique()).astype(np.int64)
     K = len(state_pdf)
     y = np.full((len(days), K), np.nan)

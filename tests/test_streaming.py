@@ -228,3 +228,27 @@ def test_rollup_stream_month_matches_batch(spark, setup):
     # finalized months were evicted: each (doc, month) finalizes at most once
     fin = emitted[emitted["final"]]
     assert not fin.duplicated(["doc_id", "bucket_start"]).any()
+
+
+def test_advance_duplicate_obs_deterministic(spark, setup):
+    """Duplicate (doc, day) observations within a micro-batch resolve
+    identically regardless of arrival order (max value wins, NaN loses)
+    — partition layout must never decide a monitor update."""
+    import pandas as pd
+    from nrt_spark.streaming import _load_bucket_state, _advance
+    from nrt_spark.kernels.monitors import resolve_params
+
+    toks, eng, state0, obs, src, tmp = setup
+    params = resolve_params("cusum", trend=False, method="OLS")
+    state_pdf = _load_bucket_state(str(tmp / "state0"), 0)
+    doc = state_pdf[state_pdf["mask"] == 1]["doc_id"].iloc[0]
+    day = int(state_pdf["last_day"].max()) + 10
+
+    b1 = pd.DataFrame({"doc_id": [doc] * 3, "day": [day] * 3,
+                       "value": [0.2, float("nan"), 0.7]})
+    b2 = b1.iloc[::-1].reset_index(drop=True)
+    s1 = _advance(state_pdf, b1, params, 0)
+    s2 = _advance(state_pdf, b2, params, 0)
+    p1 = dict(zip(s1["doc_id"], s1["process"]))[doc]
+    p2 = dict(zip(s2["doc_id"], s2["process"]))[doc]
+    assert p1 == p2 and not np.isnan(p1)
