@@ -138,6 +138,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     )
 
 
+def contamination_flags(train: DataFrame, eval_docs: DataFrame,
+                        n: int = 4, max_df: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any n-gram
+    with an evaluation set.
+
+    Plan shape: the eval set's distinct shingles form the (small) build
+    side of a LEFT SEMI join against the training shingles — the
+    shuffle key is the shingle, the eval side broadcasts when it fits,
+    and ``max_df`` bounds hot-shingle fan-out exactly like the near-dup
+    miners.  Output: (doc_id,) of contaminated training docs.
+    """
+    tr_sh = word_shingles(train, n=n, max_df=max_df)
+    ev_sh = word_shingles(eval_docs, n=n).select("shingle").distinct()
+    return (tr_sh.join(ev_sh, "shingle", "left_semi")
+            .select("doc_id").distinct())
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation —

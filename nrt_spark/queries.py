@@ -1121,6 +1121,100 @@ def top_terms_by_source(spark, sf_dir):
             .select("source", "rk", F.col("w").alias("term"), "n"))
 
 
+@q("decontaminate_docs", """
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(len(w) - 3),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]
+                  || ' ' || w[i + 4])) AS shingle
+    FROM (SELECT doc_id, source,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src19'),
+hits AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)
+  WHERE sh.source <> 'src19'
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.doc_id ELSE 0 END)
+            AS BIGINT) AS clean_checksum
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> 'src19'
+GROUP BY d.source
+""")
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: training docs (all sources but the
+    held-out 'src19' eval slice) sharing any 4-gram with the eval set
+    are flagged; per-source counts plus a checksum of the surviving
+    clean ids.  Shingle semi-join — the eval side is small and
+    broadcastable, never an all-pairs comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter("source <> 'src19'")
+    ev = docs.filter("source = 'src19'")
+    hits = D.contamination_flags(train, ev, n=4) \
+        .withColumn("contaminated", F.lit(1))
+    return (train.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce("contaminated", F.lit(0)))
+                 .alias("n_contaminated"),
+                 F.sum(F.when(F.col("contaminated").isNull(),
+                              F.col("doc_id")).otherwise(0))
+                 .alias("clean_checksum")))
+
+
+@q("repetition_stats", """
+WITH grams AS (
+  SELECT doc_id, source,
+         len(w) - 2 AS total,
+         len(list_distinct(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])))
+           AS n_distinct
+  FROM (SELECT doc_id, source,
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                            ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / total > 0.02
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(sum(floor((1.0 - CAST(n_distinct AS DOUBLE) / total) * 1e6))
+            AS BIGINT) AS dup_frac_e6_sum
+FROM grams GROUP BY source
+""")
+def repetition_stats(spark, sf_dir):
+    """Intra-document repetition filter (the Gopher-style quality rule):
+    duplicate-3-gram fraction per doc, flagged above 2% (the synthetic
+    corpus is low-repetition — 2% keeps the flag non-degenerate at
+    every test sf while the checksum column verifies every fraction).  The fraction
+    is a ratio of small ints — identical doubles in any engine — summed
+    via floor-scaling (no rounding tie rule).  One scan, one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(D.normalized_text(), " ")
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', slice(w, i + 1, 3)))")
+    base = (docs.select("doc_id", "source", w.alias("w"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", "source",
+                    (F.size("w") - 2).alias("total"),
+                    F.size(F.array_distinct(grams)).alias("n_distinct")))
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("total")
+    return (base.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(dup_frac > 0.02, 1).otherwise(0))
+                 .alias("n_repetitive"),
+                 F.sum(F.floor(dup_frac * 1e6)).alias("dup_frac_e6_sum")))
+
+
 def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
                        threshold: float = 0.4, seed: str = "nrt") -> str:
     """Oracle for the LSH-bucketed near-dup pair miner: the hyperplanes
