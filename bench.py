@@ -27,13 +27,16 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: registry queries timed by the default benchmark
+#: registry queries timed by the default benchmark (round-2 additions
+#: at the end so per-query comparisons against BENCH_r01.json hold)
 HEADLINE = [
     "pricing_summary", "top_revenue_orders", "region_revenue",
     "events_rollup_day", "events_gapfill_day", "events_ewma",
     "events_cusum", "asof_join_clicks",
     "dedup_jaccard_pairs", "minhash_lsh_pairs", "simhash_fingerprints",
     "cosine_topk_embeddings",
+    "dedup_clusters", "sessionize_events", "decontaminate_docs",
+    "pack_token_sequences",
 ]
 
 #: token-pipeline size for the rollup/compress throughput measurement

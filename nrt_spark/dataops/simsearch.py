@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Column, functions as F
 
 
@@ -153,24 +154,30 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
 
     ``n_tables`` independent plane sets (seed-derived, table t uses seed
     ``"{seed}-{t}"``) raise recall for pair mining: a pair is a candidate
-    if it collides in ANY table.  All buckets are computed in one
-    projection and ``posexplode``d — a single scan, no joins.
+    if it collides in ANY table.  All T*b plane dots are ONE numpy
+    matmul per Arrow batch inside a pandas UDF — inlining 64 plane
+    literals as Catalyst higher-order-function dots measured ~10x
+    slower (huge generated expression tree, per-row lambda evaluation).
     Output: (id, table_idx, bucket).
     """
     dim = len(embeddings.select(vec_col).first()[0])
-    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    buckets = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, f"{seed}-{t}")
-        bucket = None
-        for p in range(n_planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in planes[p]])
-            bit = F.when(_dot(cast_vec, plane_col) >= 0, F.lit(1 << p)) \
-                .otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(bucket)
+    P = np.concatenate([hyperplanes(dim, n_planes, f"{seed}-{t}")
+                        for t in range(n_tables)])        # (T*b, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not len(X):
+            return pd.Series([], dtype=object)
+        signs = (X @ P.T) >= 0                            # (n, T*b)
+        B = signs.reshape(len(X), n_tables, n_planes)
+        out = (B * weights).sum(axis=2).astype(np.int32)  # (n, T)
+        return pd.Series(list(out))
+
     return embeddings.select(
-        id_col, F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"))
+        id_col, F.posexplode(buckets_udf(vec_col))
+        .alias("table_idx", "bucket"))
 
 
 def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
