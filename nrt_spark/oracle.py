@@ -52,18 +52,20 @@ def band_ratio_checksum_oracle(n_docs: int = 200, n_obs: int = 60
     (F8: (swir-green)/(swir+green), gap token -> NULL, inf/NaN -> NULL):
     each valid (pos, ratio) contributes ``pos*31 + floor(ratio*1e6)``.
     Ratios are identical doubles in both engines (same int/1e4 decode,
-    same subtract/add/divide), so the scaled rint is exact."""
+    same subtract/add/divide), so the scaled floor is exact."""
+    from nrt_spark.tokens import GAP_TOKEN, SCALE
+
     toks = generate_tokens_local(n_docs, n_obs=n_obs, bands=True)
     acc: dict = {}
+    pos = np.arange(n_obs)
     for doc, g_tok, s_tok in zip(toks["doc_id"], toks["green_tokens"],
                                  toks["swir_tokens"]):
         g = np.asarray(g_tok, dtype=np.float64)
         s = np.asarray(s_tok, dtype=np.float64)
-        gv = np.where(g == -1, np.nan, g / 10000.0)
-        sv = np.where(s == -1, np.nan, s / 10000.0)
+        gv = np.where(g == GAP_TOKEN, np.nan, g / SCALE)
+        sv = np.where(s == GAP_TOKEN, np.nan, s / SCALE)
         with np.errstate(invalid="ignore", divide="ignore"):
             ratio = (sv - gv) / (sv + gv)
-        pos = np.arange(n_obs)
         ok = np.isfinite(ratio)
         # floor matches Spark's floor with no rounding tie rule
         term = pos[ok] * 31 + np.floor(ratio[ok] * 1e6).astype(np.int64)
@@ -124,16 +126,20 @@ def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
     toks = generate_tokens_local(n_docs, n_obs=n_obs)
     days = grid_days(n_obs)
     acc: dict = {}
+    # the positional grid is identical for every doc: precompute each
+    # tier's segmentation once instead of 300x in the doc loop
+    tiers = {}
+    for tier in ("day", "week", "month"):
+        starts = _bucket_starts(days, tier)
+        new = np.concatenate(([True], np.diff(starts) != 0))
+        seg = np.cumsum(new) - 1
+        tiers[tier] = (seg, int(seg[-1]) + 1, starts[new])
     for doc, tok in zip(toks["doc_id"], toks["tokens"]):
         t = np.asarray(tok, dtype=np.float64)
         values = np.where(t == GAP_TOKEN, np.nan, t / SCALE)
         grp = int(doc[-2:])
         for tier in ("day", "week", "month"):
-            starts = _bucket_starts(days, tier)
-            new = np.concatenate(([True], np.diff(starts) != 0))
-            seg = np.cumsum(new) - 1
-            nseg = int(seg[-1]) + 1
-            bdays = starts[new]
+            seg, nseg, bdays = tiers[tier]
             valid = ~np.isnan(values)
             vsum = np.bincount(seg, weights=np.where(valid, values, 0.0),
                                minlength=nseg)

@@ -1423,9 +1423,25 @@ def band_ratio_checksum(spark, sf_dir):
     term = (F.col("pos").cast("long") * 31
             + F.floor(F.col("ratio") * 1e6).cast("long"))
     return (long.filter(valid)
-            .groupBy(F.substring("doc_id", -2, 2).cast("int").alias("grp"))
+            .groupBy(_doc_grp())
             .agg(F.count("*").alias("n_points"),
                  F.sum(term).alias("checksum")))
+
+
+def _doc_grp():
+    '''Per-doc group key shared by the checksum oracles (last two id
+    digits -> 100 groups).'''
+    return F.substring("doc_id", -2, 2).cast("int").alias("grp")
+
+
+def _report_shape(rep):
+    '''Canonical driver shape for monitor reports: int mask, NaN -> NULL
+    so both engines emit the same byte-exact doubles / typed ints.'''
+    return rep.select(
+        "doc_id", F.col("mask").cast("int").alias("mask"),
+        F.col("detection_date").cast("int").alias("detection_date"),
+        F.when(F.isnan("process"), None).otherwise(F.col("process"))
+        .alias("process"))
 
 
 def _datagen_report(spark, monitor: str, **params):
@@ -1435,14 +1451,7 @@ def _datagen_report(spark, monitor: str, **params):
     toks = generate_tokens(spark, 300, n_obs=130)
     eng = NrtEngine(spark, monitor, num_buckets=16, **params)
     state = eng.fit(toks, history_end="2016-05-10")
-    rep = NrtEngine.report(eng.monitor(state, toks))
-    # canonical driver shape: int mask, NaN -> NULL so both engines emit
-    # the same byte-exact doubles / typed ints
-    return rep.select(
-        "doc_id", F.col("mask").cast("int").alias("mask"),
-        F.col("detection_date").cast("int").alias("detection_date"),
-        F.when(F.isnan("process"), None).otherwise(F.col("process"))
-        .alias("process"))
+    return _report_shape(NrtEngine.report(eng.monitor(state, toks)))
 
 
 _report_sql_cache: dict = {}
@@ -1531,12 +1540,7 @@ def nrt_incremental_report(spark, sf_dir):
            .select("doc_id", "ts", "value"))
     state = eng.monitor_obs(state, obs.filter(F.col("ts") <= "2017-06-01"))
     state = eng.monitor_obs(state, obs.filter(F.col("ts") > "2017-06-01"))
-    rep = NrtEngine.report(state)
-    return rep.select(
-        "doc_id", F.col("mask").cast("int").alias("mask"),
-        F.col("detection_date").cast("int").alias("detection_date"),
-        F.when(F.isnan("process"), None).otherwise(F.col("process"))
-        .alias("process"))
+    return _report_shape(NrtEngine.report(state))
 
 
 @q("nrt_rollup_day_tier", None)
@@ -1631,8 +1635,7 @@ def nrt_rollup_checksum(spark, sf_dir):
             + F.round(F.col("vmax") * 10000).cast("long")
         ).otherwise(day_num.cast("long"))
         parts.append(
-            r.groupBy(F.lit(tier).alias("tier"),
-                      F.substring("doc_id", -2, 2).cast("int").alias("grp"))
+            r.groupBy(F.lit(tier).alias("tier"), _doc_grp())
             .agg(F.count("*").alias("n_buckets"),
                  F.sum("n").cast("long").alias("total_n"),
                  F.sum(term).alias("checksum")))
