@@ -66,8 +66,13 @@ def resolve_params(monitor: str, **overrides) -> dict:
     if monitor == "cusum":
         params.setdefault("critval", cusum_ols_test_crit(params["sensitivity"]))
     elif monitor == "mosum":
+        # period/functional default to the reference MoSum's hardcoded
+        # choices (nrt/monitor/mosum.py:87) but stay user-overridable
+        # like the reference's crit-value API (utils_efp.py:145-166)
         params.setdefault("critval", mosum_ols_test_crit(
-            params["sensitivity"], h=params["h"], period=10, functional="max"))
+            params["sensitivity"], h=params["h"],
+            period=params.get("period", 10),
+            functional=params.get("functional", "max")))
     return params
 
 

@@ -155,3 +155,16 @@ def test_update_mask_false_keeps_monitoring():
     assert (state["detection_date"] == 0).all()
     # broken series' process reflects the post-break level (kept updating)
     assert (np.abs(state["process"][broken]) > state["boundary"][broken]).all()
+
+
+def test_mosum_functional_and_period_overridable():
+    """resolve_params exposes the reference crit-API knobs: the 'range'
+    functional and other monitoring periods resolve to (larger) critical
+    values, default stays the reference MoSum's (max, period=10)."""
+    base = mon.resolve_params("mosum", trend=False, method="OLS")
+    rng = mon.resolve_params("mosum", trend=False, method="OLS",
+                             functional="range")
+    short = mon.resolve_params("mosum", trend=False, method="OLS",
+                               period=2)
+    assert rng["critval"] > base["critval"]
+    assert short["critval"] < base["critval"]
