@@ -98,3 +98,28 @@ def test_monitor_chunked_equals_full(monitor, cut, seed):
                                           err_msg=f"{monitor}.{key}")
         else:
             np.testing.assert_array_equal(a, b, err_msg=f"{monitor}.{key}")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10 ** 6),
+       st.integers(min_value=2, max_value=4))
+def test_recresid_equals_direct_refit(seed, k):
+    """recresid maintains (X'X)^-1 with rank-1 updates; the t-th value
+    must equal the standardized one-step-ahead prediction error from a
+    FULL OLS refit on rows < t (the definition, computed independently
+    with lstsq)."""
+    from nrt_spark.kernels.efp import recresid
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 30
+    X = np.column_stack([np.ones(n),
+                         rng.standard_normal((n, k - 1))])
+    y = X @ rng.standard_normal(k) + 0.1 * rng.standard_normal(n)
+    span = k + 1
+    got = recresid(X, y, span)
+    for t in range(span, n):
+        b, *_ = np.linalg.lstsq(X[:t], y[:t], rcond=None)
+        e = y[t] - X[t] @ b
+        f = 1.0 + X[t] @ np.linalg.inv(X[:t].T @ X[:t]) @ X[t]
+        np.testing.assert_allclose(got[t], e / np.sqrt(f), rtol=1e-8,
+                                   atol=1e-10)
