@@ -1706,9 +1706,65 @@ def multimodal_features(spark, sf_dir):
                         F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
-# registered LAST: the one entry that spins up a streaming runtime.  If
-# the streaming machinery ever hard-kills the harness process, every
-# other registry entry has already been recorded.
+# the two streaming entries are registered LAST: if the streaming
+# machinery ever hard-kills the harness process, every other registry
+# entry has already been recorded.
+@q("nrt_streaming_monitor_report",
+   lambda: _report_oracle_sql("cusum", trend=False, method="OLS"))
+def nrt_streaming_monitor_report(spark, sf_dir):
+    """The STREAMING monitor through the driver's correctness gate: fit
+    a batch state snapshot, feed the monitoring period as two file-source
+    micro-batches through the stateful operator
+    (applyInPandasWithState), and report the final per-series state —
+    which must land byte-exactly on the same single-process numpy
+    oracle as the batch report (checkpoint bootstrap, per-series
+    watermark, micro-batch folding all certified)."""
+    import tempfile
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine
+    from nrt_spark.kernels.monitors import resolve_params
+    from nrt_spark.streaming import monitor_stream
+    from nrt_spark.tokens import decode_long
+
+    tmp = tempfile.mkdtemp(prefix="nrt_stream_mon_")
+    toks = generate_tokens(spark, 300, n_obs=130)
+    eng = NrtEngine(spark, "cusum", num_buckets=16, trend=False,
+                    method="OLS")
+    eng.save_state(eng.fit(toks, history_end="2016-05-10"),
+                   tmp + "/state")
+    obs = (decode_long(toks).filter(F.col("ts") > "2016-05-10")
+           .withColumn("day", F.datediff("ts", F.lit("1970-01-01")))
+           .select("doc_id", "day", "value"))
+    (obs.filter("day <= 17333").coalesce(1)
+        .write.parquet(tmp + "/src/chunk0"))
+    (obs.filter("day > 17333").coalesce(1)
+        .write.parquet(tmp + "/src/chunk1"))
+    stream = (spark.readStream
+              .schema("doc_id string, day int, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(tmp + "/src/chunk*"))
+    params = resolve_params("cusum", trend=False, method="OLS")
+    query = (monitor_stream(stream, tmp + "/state", params,
+                            num_buckets=16)
+             .writeStream.format("memory")
+             .queryName("nrt_streaming_monitor_sink")
+             .option("checkpointLocation", tmp + "/ck")
+             .trigger(availableNow=True).start())
+    try:
+        finished = query.awaitTermination(120)
+    finally:
+        query.stop()
+    if not finished:
+        raise TimeoutError("streaming monitor did not drain in 120s")
+    final = spark.sql(
+        "SELECT doc_id, max_by(mask, last_day) AS mask, "
+        "max_by(detection_date, last_day) AS detection_date, "
+        "max_by(process, last_day) AS process "
+        "FROM nrt_streaming_monitor_sink GROUP BY doc_id")
+    return _report_shape(final)
+
+
 @q("nrt_streaming_rollup", None)
 def nrt_streaming_rollup(spark, sf_dir):
     """Structured Streaming continuous aggregate: the day-tier rollup
