@@ -67,13 +67,13 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    # under spark-submit these are no-ops (submit conf wins); when run
-    # as a plain script the defaults below stop the LOCAL driver JVM
-    # from capping at 1g and parquet writers from thrashing row groups
+    # spark.driver.memory only takes effect at JVM launch, so under
+    # spark-submit the submit conf wins; as a plain script it stops the
+    # LOCAL driver JVM from capping at 1g (which made parquet writers
+    # thrash row groups at >=500k series)
     spark = (SparkSession.builder.appName("nrt_rollup_job")
              .config("spark.driver.memory",
                      os.environ.get("NRT_JOB_DRIVER_MEM", "8g"))
-             .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 

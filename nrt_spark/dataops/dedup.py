@@ -139,17 +139,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
 
 
 def contamination_flags(train: DataFrame, eval_docs: DataFrame,
-                        n: int = 4, max_df: int | None = None) -> DataFrame:
+                    n: int = 4) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any n-gram
     with an evaluation set.
 
     Plan shape: the eval set's distinct shingles form the (small) build
     side of a LEFT SEMI join against the training shingles — the
-    shuffle key is the shingle, the eval side broadcasts when it fits,
-    and ``max_df`` bounds hot-shingle fan-out exactly like the near-dup
-    miners.  Output: (doc_id,) of contaminated training docs.
+    shuffle key is the shingle and the eval side broadcasts when it
+    fits.  Unlike the near-dup PAIR miners, a semi-join's output is
+    linear in the training rows, so no hot-shingle df cap is needed —
+    and none is offered, because dropping a high-df shingle here would
+    silently unflag exactly the docs the operator exists to catch.
+    Output: (doc_id,) of contaminated training docs.
     """
-    tr_sh = word_shingles(train, n=n, max_df=max_df)
+    tr_sh = word_shingles(train, n=n)
     ev_sh = word_shingles(eval_docs, n=n).select("shingle").distinct()
     return (tr_sh.join(ev_sh, "shingle", "left_semi")
             .select("doc_id").distinct())

@@ -244,7 +244,7 @@ class NrtEngine:
             state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
             if not len(obs_pdf):
                 return state_pdf[STATE_COLUMNS]
-            return _advance(state_pdf, obs_pdf.sort_values("day"), params,
+            return _advance(state_pdf, obs_pdf, params,
                             int(state_pdf["bucket"].iloc[0]),
                             update_mask=update_mask)
 

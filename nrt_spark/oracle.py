@@ -137,10 +137,10 @@ def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
     for doc, tok in zip(toks["doc_id"], toks["tokens"]):
         t = np.asarray(tok, dtype=np.float64)
         values = np.where(t == GAP_TOKEN, np.nan, t / SCALE)
+        valid = ~np.isnan(values)
         grp = int(doc[-2:])
         for tier in ("day", "week", "month"):
             seg, nseg, bdays = tiers[tier]
-            valid = ~np.isnan(values)
             vsum = np.bincount(seg, weights=np.where(valid, values, 0.0),
                                minlength=nseg)
             n = np.bincount(seg, weights=valid.astype(np.float64),

@@ -1219,8 +1219,12 @@ def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
                        threshold: float = 0.4, seed: str = "nrt") -> str:
     """Oracle for the LSH-bucketed near-dup pair miner: the hyperplanes
     are deterministic (sha256-derived), so the SQL inlines the identical
-    plane literals and reproduces bucket assignment exactly.  dim=64
-    matches the driver's embeddings table at every sf."""
+    plane literals and reproduces bucket assignment — exactly, unless a
+    plane dot product lies within ~1 ulp of zero, where the Spark side's
+    matmul accumulation order could round to a different sign than
+    DuckDB's sequential fold (probability ~1e-8 at oracle scale;
+    validated empirically at all three sfs).  dim=64 matches the
+    driver's embeddings table at every sf."""
     tables = []
     for t in range(n_tables):
         planes = SS.hyperplanes(dim, n_planes, f"{seed}-{t}")

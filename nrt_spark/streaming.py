@@ -277,7 +277,6 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
             if state_pdf is None:
                 return
         obs = pd.concat(list(pdfs), ignore_index=True)
-        obs = obs.sort_values("day")
         new_pdf = _advance(state_pdf, obs, params, bucket)
         state.update((pickle.dumps(new_pdf[STATE_COLUMNS], protocol=4),))
         yield _report_rows(new_pdf)
