@@ -80,3 +80,13 @@ def spark_xxhash64_str(s: str, seed: int = 42) -> int:
     """Signed-int64 twin of Spark's ``xxhash64(string_col)``."""
     h = xxh64(s.encode("utf-8"), seed)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64_strs(*parts: str, seed: int = 42) -> int:
+    """Signed-int64 twin of Spark's multi-argument ``xxhash64(c1, c2,
+    ...)``: each argument is hashed with the previous result as seed
+    (parity pinned in tests/test_oracle_pipeline.py)."""
+    h = seed
+    for p in parts:
+        h = xxh64(p.encode("utf-8"), h)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 
 from nrt_spark.datagen import _gen_batch
-from nrt_spark.hashing import spark_xxhash64_str
+from nrt_spark.hashing import spark_xxhash64_str, spark_xxhash64_strs
 from nrt_spark.kernels.monitors import fit_state, resolve_params, run_monitor
 from nrt_spark.tokens import grid_days, tokens_to_matrix
 
@@ -34,14 +34,16 @@ def generate_tokens_local(n_docs: int, n_obs: int = 130,
                           break_frac: float = 0.5, gap_frac: float = 0.08,
                           noise: float = 0.02, bands: bool = False
                           ) -> pd.DataFrame:
-    """Numpy twin of :func:`nrt_spark.datagen.generate_tokens` (token
-    stream only; ``source`` is not reproduced — it derives from a second
-    hash the report pipeline never reads)."""
+    """Numpy twin of :func:`nrt_spark.datagen.generate_tokens`, source
+    column included (the zipf source derives from the chained
+    ``xxhash64(doc_id, 'src')``, reproduced by spark_xxhash64_strs)."""
     doc_ids = [f"doc{i:010d}" for i in range(n_docs)]
     seeds = np.array([spark_xxhash64_str(d) for d in doc_ids],
                      dtype=np.int64)
+    src_u = np.array([(spark_xxhash64_strs(d, "src") % 10000) / 10000.0
+                      for d in doc_ids])
     pdf = pd.DataFrame({"doc_id": doc_ids, "seed64": seeds,
-                        "src_u": np.zeros(n_docs)})
+                        "src_u": src_u})
     return _gen_batch(pdf, n_obs, break_frac, gap_frac, noise,
                       bands=bands, outlier_frac=0.0)
 

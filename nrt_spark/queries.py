@@ -1328,11 +1328,28 @@ def bpe_token_counts(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
-@q("token_roundtrip_invariant", None)
+def _token_roundtrip_sql() -> str:
+    """The numpy twin reproduces the zipf source assignment (chained
+    xxhash64), so the expected per-source row counts — with the
+    mismatch column pinned to ZERO — render as a VALUES oracle; any
+    round-trip failure or source-assignment drift breaks the hash."""
+    from nrt_spark.oracle import generate_tokens_local
+
+    counts = generate_tokens_local(500, n_obs=130)["source"] \
+        .value_counts().sort_index()
+    rows = ",\n".join(f"('{s_}', {int(n)}, 0)"
+                      for s_, n in counts.items())
+    return ("SELECT source, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(mismatches AS BIGINT) AS mismatches FROM (VALUES\n"
+            + rows + "\n) t(source, n_rows, mismatches)")
+
+
+@q("token_roundtrip_invariant", lambda: _token_roundtrip_sql())
 def token_roundtrip_invariant(spark, sf_dir):
     """The BASELINE input_hint per-row invariant: decode -> re-encode of
     every token array must be bit-identical (gap tokens included).
-    Output: per-source row counts with zero mismatches."""
+    Output: per-source row counts with zero mismatches, checked against
+    the numpy twin's expected source distribution."""
     import numpy as np
     import pandas as pd
     from nrt_spark.datagen import generate_tokens

@@ -18,6 +18,9 @@ def test_xxh64_reference_vectors():
     assert xxh64(b"", 0) == 0xEF46DB3751D8E999
     # Spark seed-42 parity values, pinned from the JVM expression
     assert spark_xxhash64_str("") == -7444071767201028348
+    from nrt_spark.hashing import spark_xxhash64_strs
+    assert spark_xxhash64_strs("doc0000000007", "src") == \
+        7658802493184085759  # pinned vs xxhash64('doc0000000007','src')
 
 
 def test_xxh64_matches_spark(spark):
@@ -39,6 +42,7 @@ def test_local_datagen_matches_spark(spark):
     got = generate_tokens_local(40, n_obs=50) \
         .sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["source"]) == list(want["source"])  # chained-hash zipf
     for g, w in zip(got["tokens"], want["tokens"]):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
