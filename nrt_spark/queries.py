@@ -1695,9 +1695,43 @@ def nrt_gorilla_stats(spark, sf_dir):
               "bytes_per_point double, roundtrip_mismatches long")
 
 
-@q("lsh_topk_embeddings", None)
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, k: int = 10,
+                  seed: str = "nrt") -> str:
+    """Oracle for the bucketed ANN query: the hyperplanes are
+    deterministic literals and the probe row comes from the table, so
+    the whole bucket-pruned search is SQL-expressible — bucket of every
+    vector AND of the probe from the same inlined planes, exact cosine
+    ranking within the probe's bucket."""
+    planes = SS.hyperplanes(dim, n_planes, seed)
+    def bucket_expr(vcol):
+        bits = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product({vcol}, "
+                        f"{lit}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)")
+        return "\n      + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e
+),
+pb AS (SELECT {bucket_expr('p')} AS bucket FROM probe)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, probe.p)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(probe.p, probe.p))), 6) AS cosine
+FROM assigned a, probe, pb
+WHERE a.bucket = pb.bucket
+ORDER BY cosine DESC, a.vec_id LIMIT {k}
+"""
+
+
+@q("lsh_topk_embeddings", _lsh_topk_sql())
 def lsh_topk_embeddings(spark, sf_dir):
-    """Bucketed ANN variant of cosine_topk (deterministic hyperplanes)."""
+    """Bucketed ANN variant of cosine_topk (deterministic hyperplanes,
+    probe-bucket-pruned scan) — oracle-checked end to end: the SQL
+    reproduces bucket assignment from the same plane literals."""
     emb = _t(spark, sf_dir, "embeddings")
     probe = [float(x) for x in
              emb.filter("vec_id = 0").select("embedding").first()[0]]
