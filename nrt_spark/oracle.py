@@ -109,6 +109,31 @@ def pack_checksum_oracle(n_docs: int = 300, n_obs: int = 130,
                                        "checksum"]).sort_values("shard")
 
 
+def streaming_rollup_oracle(n_docs: int = 30, n_obs: int = 40
+                            ) -> pd.DataFrame:
+    """Expected day-tier streaming rollup rows for the synthetic token
+    table: at the 5-day decode cadence every day bucket holds exactly
+    one observation, so n is 1 (or 0 for gap tokens) and the mean is
+    the decoded value itself (round(x, 6) is the identity on 4-decimal
+    token values)."""
+    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
+                                  SCALE)
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    rows = []
+    for doc, tok in zip(toks["doc_id"], toks["tokens"]):
+        t = np.asarray(tok, dtype=np.int64)
+        for i, v in enumerate(t):
+            day = EPOCH_DAY + CADENCE_DAYS * i
+            ts = str(np.datetime64(int(day), "D")) + " 00:00:00"
+            if v == GAP_TOKEN:
+                rows.append((doc, ts, 0, None))
+            else:
+                rows.append((doc, ts, 1, float(v) / SCALE))
+    return pd.DataFrame(rows, columns=["doc_id", "bucket_start", "n",
+                                       "mean"])
+
+
 def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
                            ) -> pd.DataFrame:
     """Expected per-(tier, doc-group) rollup checksums for the synthetic

@@ -1820,7 +1820,24 @@ def nrt_streaming_monitor_report(spark, sf_dir):
     return _report_shape(final)
 
 
-@q("nrt_streaming_rollup", None)
+def _streaming_rollup_sql() -> str:
+    """VALUES oracle from the numpy twin: at the 5-day cadence each day
+    bucket is one observation, so the expected streaming output is
+    fully determined (gap tokens -> n=0 buckets with NULL mean)."""
+    from nrt_spark.oracle import streaming_rollup_oracle
+
+    pdf = streaming_rollup_oracle(n_docs=30, n_obs=40)
+    rows = ",\n".join(
+        "('{}', TIMESTAMP '{}', {}, {})".format(
+            d, ts, int(n), "NULL" if m is None
+            else f"CAST('{m!r}' AS DOUBLE)")
+        for d, ts, n, m in pdf.itertuples(index=False))
+    return ("SELECT doc_id, bucket_start, CAST(n AS BIGINT) AS n, "
+            "CAST(mean AS DOUBLE) AS mean FROM (VALUES\n" + rows
+            + "\n) t(doc_id, bucket_start, n, mean)")
+
+
+@q("nrt_streaming_rollup", lambda: _streaming_rollup_sql())
 def nrt_streaming_rollup(spark, sf_dir):
     """Structured Streaming continuous aggregate: the day-tier rollup
     fed through a file-source stream with a watermark (availableNow),
