@@ -109,6 +109,48 @@ def pack_checksum_oracle(n_docs: int = 300, n_obs: int = 130,
                                        "checksum"]).sort_values("shard")
 
 
+def gorilla_stats_oracle(n_docs: int = 200, n_obs: int = 130
+                         ) -> pd.DataFrame:
+    """Expected per-tier compression stats: the Gorilla encoders are
+    pure numpy, tier buckets fold identically to Catalyst (bincount
+    contract), and compress_tier feeds ts-sorted per-doc points — so
+    total points and total BYTES per tier are fully determined by the
+    token table.  Round-trip mismatches are pinned to 0."""
+    from nrt_spark.fastpath import _bucket_starts
+    from nrt_spark.gorilla import encode_timestamps, encode_values_fast
+    from nrt_spark.tokens import GAP_TOKEN, SCALE
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    days = grid_days(n_obs)
+    tiers = {}
+    for tier in ("day", "week", "month"):
+        starts = _bucket_starts(days, tier)
+        new = np.concatenate(([True], np.diff(starts) != 0))
+        seg = np.cumsum(new) - 1
+        tiers[tier] = (seg, int(seg[-1]) + 1, starts[new])
+    totals = {t: [0, 0] for t in tiers}          # points, bytes
+    for tok in toks["tokens"]:
+        t = np.asarray(tok, dtype=np.float64)
+        values = np.where(t == GAP_TOKEN, np.nan, t / SCALE)
+        valid = ~np.isnan(values)
+        for tier, (seg, nseg, bdays) in tiers.items():
+            vsum = np.bincount(seg, weights=np.where(valid, values, 0.0),
+                               minlength=nseg)
+            cnts = np.bincount(seg, weights=valid.astype(np.float64),
+                               minlength=nseg)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                means = np.where(cnts > 0, vsum / cnts, np.nan)
+            ts_block = encode_timestamps(bdays * 86400)
+            val_block = encode_values_fast(means)
+            totals[tier][0] += nseg
+            totals[tier][1] += len(ts_block) + len(val_block)
+    rows = [(tier, p, b, round(b / p, 3), 0)
+            for tier, (p, b) in totals.items()]
+    return pd.DataFrame(rows, columns=[
+        "tier", "n_points", "n_bytes", "bytes_per_point",
+        "roundtrip_mismatches"])
+
+
 def streaming_rollup_oracle(n_docs: int = 30, n_obs: int = 40
                             ) -> pd.DataFrame:
     """Expected day-tier streaming rollup rows for the synthetic token

@@ -1666,10 +1666,28 @@ def nrt_rollup_checksum(spark, sf_dir):
     return out
 
 
-@q("nrt_gorilla_stats", None)
+def _gorilla_stats_sql() -> str:
+    from nrt_spark.oracle import gorilla_stats_oracle
+
+    pdf = gorilla_stats_oracle(n_docs=200, n_obs=130)
+    rows = ",\n".join(
+        f"('{t}', {int(p)}, {int(b)}, CAST('{bp!r}' AS DOUBLE), {int(m)})"
+        for t, p, b, bp, m in pdf.itertuples(index=False))
+    return ("SELECT tier, CAST(n_points AS BIGINT) AS n_points, "
+            "CAST(n_bytes AS BIGINT) AS n_bytes, "
+            "CAST(bytes_per_point AS DOUBLE) AS bytes_per_point, "
+            "CAST(roundtrip_mismatches AS BIGINT) AS roundtrip_mismatches "
+            "FROM (VALUES\n" + rows
+            + "\n) t(tier, n_points, n_bytes, bytes_per_point, "
+              "roundtrip_mismatches)")
+
+
+@q("nrt_gorilla_stats", lambda: _gorilla_stats_sql())
 def nrt_gorilla_stats(spark, sf_dir):
     """Compression metrics per tier: points, bytes, bytes/point, and a
-    round-trip mismatch count (must be 0)."""
+    round-trip mismatch count — checked against the numpy twin, which
+    re-encodes every tier with the same pure-numpy codecs (byte counts
+    are fully deterministic) and pins mismatches to zero."""
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.tokens import decode_long
     from nrt_spark.rollup import rollup_tiers
