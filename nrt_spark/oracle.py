@@ -116,34 +116,26 @@ def gorilla_stats_oracle(n_docs: int = 200, n_obs: int = 130
     contract), and compress_tier feeds ts-sorted per-doc points — so
     total points and total BYTES per tier are fully determined by the
     token table.  Round-trip mismatches are pinned to 0."""
-    from nrt_spark.fastpath import _bucket_starts
+    from nrt_spark.fastpath import _tier_points
     from nrt_spark.gorilla import encode_timestamps, encode_values_fast
     from nrt_spark.tokens import GAP_TOKEN, SCALE
 
     toks = generate_tokens_local(n_docs, n_obs=n_obs)
     days = grid_days(n_obs)
-    tiers = {}
+    # the positional grid is shared, so every doc's timestamp block is
+    # identical per tier — encode it once, not once per doc
+    ts_blocks = {}
     for tier in ("day", "week", "month"):
-        starts = _bucket_starts(days, tier)
-        new = np.concatenate(([True], np.diff(starts) != 0))
-        seg = np.cumsum(new) - 1
-        tiers[tier] = (seg, int(seg[-1]) + 1, starts[new])
-    totals = {t: [0, 0] for t in tiers}          # points, bytes
+        bdays, _ = _tier_points(days, np.zeros(n_obs), tier)
+        ts_blocks[tier] = len(encode_timestamps(bdays * 86400))
+    totals = {t: [0, 0] for t in ts_blocks}      # points, bytes
     for tok in toks["tokens"]:
         t = np.asarray(tok, dtype=np.float64)
         values = np.where(t == GAP_TOKEN, np.nan, t / SCALE)
-        valid = ~np.isnan(values)
-        for tier, (seg, nseg, bdays) in tiers.items():
-            vsum = np.bincount(seg, weights=np.where(valid, values, 0.0),
-                               minlength=nseg)
-            cnts = np.bincount(seg, weights=valid.astype(np.float64),
-                               minlength=nseg)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                means = np.where(cnts > 0, vsum / cnts, np.nan)
-            ts_block = encode_timestamps(bdays * 86400)
-            val_block = encode_values_fast(means)
-            totals[tier][0] += nseg
-            totals[tier][1] += len(ts_block) + len(val_block)
+        for tier, ts_len in ts_blocks.items():
+            bdays, means = _tier_points(days, values, tier)
+            totals[tier][0] += len(bdays)
+            totals[tier][1] += ts_len + len(encode_values_fast(means))
     rows = [(tier, p, b, round(b / p, 3), 0)
             for tier, (p, b) in totals.items()]
     return pd.DataFrame(rows, columns=[

@@ -1703,8 +1703,12 @@ def nrt_gorilla_stats(spark, sf_dir):
         back = decompress_tier(blocks).withColumnRenamed("value", "rt")
         orig = df.select("doc_id", "bucket_start",
                          F.col("mean").alias("ov"))
+        # null-safe compare so one-sided full-join rows (a dropped or
+        # fabricated point) COUNT as mismatches; NaN decode of a gap
+        # bucket's NULL mean is the one legitimate difference
         mism = (back.join(orig, ["doc_id", "bucket_start"], "full")
-                .filter("(rt <> ov) AND NOT (isnan(rt) AND ov IS NULL)")
+                .filter("NOT (rt <=> ov) AND NOT "
+                        "(rt IS NOT NULL AND isnan(rt) AND ov IS NULL)")
                 .count())
         rows.append((tier, int(stats["p"]), int(stats["b"]),
                      round(stats["b"] / stats["p"], 3), int(mism)))
@@ -1745,7 +1749,7 @@ ORDER BY cosine DESC, a.vec_id LIMIT {k}
 """
 
 
-@q("lsh_topk_embeddings", _lsh_topk_sql())
+@q("lsh_topk_embeddings", lambda: _lsh_topk_sql())
 def lsh_topk_embeddings(spark, sf_dir):
     """Bucketed ANN variant of cosine_topk (deterministic hyperplanes,
     probe-bucket-pruned scan) — oracle-checked end to end: the SQL
@@ -1847,7 +1851,10 @@ def _streaming_rollup_sql() -> str:
     pdf = streaming_rollup_oracle(n_docs=30, n_obs=40)
     rows = ",\n".join(
         "('{}', TIMESTAMP '{}', {}, {})".format(
-            d, ts, int(n), "NULL" if m is None
+            d, ts, int(n),
+            # pandas coerces the twin's None to NaN: render gap buckets
+            # as SQL NULL, which is what Spark's null/0 mean produces
+            "NULL" if (m is None or m != m)
             else f"CAST('{m!r}' AS DOUBLE)")
         for d, ts, n, m in pdf.itertuples(index=False))
     return ("SELECT doc_id, bucket_start, CAST(n AS BIGINT) AS n, "
