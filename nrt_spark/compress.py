@@ -51,18 +51,30 @@ def _compress_udf():
     return _udf_cache["compress"]
 
 
-def _decompress_batches(batches):
+def _decompress_batches(batches, int_scale: float | None = None):
     """mapInPandas body: batched decode (every block of the Arrow batch
     in one set of numpy passes — the read-path twin of
     encode_*_streams), then straight to LONG form with repeat/concat.
-    No per-point Python, no list columns, no downstream explode."""
+    No per-point Python, no list columns, no downstream explode.
+
+    ``int_scale``: decode value blocks written by the scaled-int
+    delta-of-delta codec (sentinel -> NaN, ints / scale) instead of
+    float XOR."""
     import numpy as np
+
+    from nrt_spark.fastpath import INT_NAN_SENTINEL
 
     for pdf in batches:
         if not len(pdf):
             continue
         ts = decode_int_streams([bytes(b) for b in pdf["ts_block"]])
-        vals = decode_float_streams([bytes(b) for b in pdf["val_block"]])
+        if int_scale is None:
+            vals = decode_float_streams([bytes(b)
+                                         for b in pdf["val_block"]])
+        else:
+            vals = [np.where(v == INT_NAN_SENTINEL, np.nan, v / int_scale)
+                    for v in decode_int_streams([bytes(b)
+                                                 for b in pdf["val_block"]])]
         lens = np.array([len(t) for t in ts], dtype=np.int64)
         yield pd.DataFrame({
             "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
@@ -101,12 +113,18 @@ def compress_tier(rollup_df: DataFrame, value_col: str = "mean") -> DataFrame:
     )
 
 
-def decompress_tier(blocks_df: DataFrame) -> DataFrame:
-    """Inverse of :func:`compress_tier`: blocks -> (doc_id, bucket_start,
-    value) long form, exploded inside the Arrow batch (numpy
-    repeat/concatenate), not by a JVM explode over list columns."""
+def decompress_tier(blocks_df: DataFrame,
+                    int_scale: float | None = None) -> DataFrame:
+    """Inverse of :func:`compress_tier` (and of the scaled-int archive
+    when ``int_scale`` matches the one used at write time): blocks ->
+    (doc_id, bucket_start, value) long form, exploded inside the Arrow
+    batch (numpy repeat/concatenate), not by a JVM explode over list
+    columns."""
+    import functools
+
+    body = functools.partial(_decompress_batches, int_scale=int_scale)
     out = blocks_df.select("doc_id", "ts_block", "val_block").mapInPandas(
-        _decompress_batches, "doc_id string, ts long, value double")
+        body, "doc_id string, ts long, value double")
     return out.select(
         "doc_id", F.col("ts").cast("timestamp").alias("bucket_start"),
         "value")

@@ -82,3 +82,31 @@ def test_int_codec_day_tier_exact_and_small(spark, tokens):
     bpp_int = fx["n_bytes"].sum() / fx["n_points"].sum()
     bpp_flt = ff["n_bytes"].sum() / ff["n_points"].sum()
     assert bpp_int < bpp_flt / 2, (bpp_int, bpp_flt)
+
+
+def test_quantized_archive_spark_read_path(spark):
+    """The scaled-int archive round-trips through the SPARK reader:
+    decompress_tier(int_scale=...) recovers exactly the quantized day
+    means the writer quantized (gap buckets -> NaN)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.fastpath import rollup_compress_tokens
+    from nrt_spark.compress import decompress_tier
+    from nrt_spark.tokens import decode_long
+    from nrt_spark.rollup import rollup_raw
+
+    toks = generate_tokens(spark, 80, n_obs=60)
+    blocks = rollup_compress_tokens(toks, tiers=("day",),
+                                    int_scale=10000.0)
+    back = (decompress_tier(blocks, int_scale=10000.0)
+            .withColumnRenamed("value", "rt"))
+    orig = (rollup_raw(decode_long(toks), "day")
+            .select("doc_id", "bucket_start", F.col("mean").alias("ov")))
+    joined = back.join(orig, ["doc_id", "bucket_start"], "full").toPandas()
+    assert len(joined) == back.count() == orig.count()
+    rt = joined["rt"].to_numpy(float)
+    ov = joined["ov"].to_numpy(float)
+    # day tier at 5-day cadence: means are 4-decimal values, so the
+    # 1e4-scaled int codec is lossless here
+    assert bool(np.all((rt == ov) | (np.isnan(rt) & np.isnan(ov))))
