@@ -211,3 +211,21 @@ def test_pack_sequences_invariants(spark):
     assert len(a) == len(b)
     for ta, tb in zip(a["tokens"], b["tokens"]):
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ sketches have no cross-engine oracle, but their relative
+    error is bounded: compare against exact distinct counts on the
+    driver data (rsd default 5%, explicit 1% column tighter)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_u"),
+                 F.approx_count_distinct("user_id").alias("approx_u"),
+                 F.countDistinct("event_id").alias("exact_e"),
+                 F.approx_count_distinct("event_id", 0.01)
+                 .alias("approx_e"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx_u"] - r["exact_u"]) <= max(3, 0.15 * r["exact_u"])
+        assert abs(r["approx_e"] - r["exact_e"]) <= max(3, 0.05 * r["exact_e"])
