@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--job-id", default="job0",
                     help="resume key: completed steps are skipped")
+    ap.add_argument("--compact-target-mb", type=int, default=0,
+                    help="when > 0, add a small-file compaction step "
+                         "over the block partitions")
     args = ap.parse_args(argv)
 
     if args.make_pyfiles:
@@ -112,6 +115,17 @@ def main(argv=None) -> int:
 
     ran_monitor = job.step("fit_monitor", fit_and_monitor)
     ran_rollup = job.step("rollup_blocks", rollup_blocks)
+    ran_compact = None
+    if args.compact_target_mb > 0:
+        from nrt_spark.rollup import compact_partition
+
+        def compact_blocks():
+            for part in sorted(Path(f"{out}/blocks").glob("tier=*")):
+                compact_partition(spark, str(part),
+                                  args.compact_target_mb)
+            return None
+
+        ran_compact = job.step("compact_blocks", compact_blocks)
 
     from pyspark.sql import functions as F
 
@@ -125,7 +139,9 @@ def main(argv=None) -> int:
         "job_id": args.job_id,
         "rows_in": n_tokens_rows,
         "steps_executed": {"fit_monitor": ran_monitor,
-                           "rollup_blocks": ran_rollup},
+                           "rollup_blocks": ran_rollup,
+                           **({"compact_blocks": ran_compact}
+                              if ran_compact is not None else {})},
         "mask_counts": masks,
         "rolled_points": int(stats["p"]),
         "bytes_per_point": round(stats["b"] / stats["p"], 3),

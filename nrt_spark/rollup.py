@@ -140,6 +140,52 @@ def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
        .parquet(f"{base_path}/tier={tier}"))
 
 
+def compact_partition(spark, path: str, target_mb: int = 128) -> dict:
+    """Small-file compaction for one written partition directory: rewrite
+    its parquet files into ``ceil(bytes / target_mb)`` files.
+
+    The cluster-scale failure mode this prevents: incremental rollup
+    jobs append a few small files per run, and a year of runs turns a
+    partition into thousands of KB-sized files whose open/footer cost
+    dominates scans.  Compaction reads the partition once, writes the
+    right-sized files to a staging directory, then swaps directories
+    (two renames — the same publish step Iceberg's ``rewrite_data_files``
+    performs as a metadata commit).  Skips partitions already at or
+    below the target file count.
+
+    Returns:
+        {files_before, files_after, bytes, skipped}
+    """
+    p = Path(path)
+    files = sorted(p.glob("*.parquet"))
+    total = sum(f.stat().st_size for f in files)
+    n_out = max(1, -(-total // (target_mb << 20)))
+    if len(files) <= n_out:
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes": total, "skipped": True}
+    staged = str(p) + ".compact"
+    (spark.read.parquet(str(p)).coalesce(int(n_out))
+     .write.mode("overwrite").parquet(staged))
+    old = str(p) + ".old"
+    Path(str(p)).rename(old)
+    Path(staged).rename(str(p))
+    shutil.rmtree(old)
+    after = len(list(p.glob("*.parquet")))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total, "skipped": False}
+
+
+def compact_tiers(spark, base_path: str, target_mb: int = 128) -> dict:
+    """Compact every tier partition under ``base_path`` (the layout
+    ``write_tier`` produces: tier=X/period=YYYY-MM).  Returns per-
+    partition stats keyed by relative path."""
+    stats = {}
+    for part in sorted(Path(base_path).glob("tier=*/period=*")):
+        stats[str(part.relative_to(base_path))] = compact_partition(
+            spark, str(part), target_mb)
+    return stats
+
+
 def expire_tier(base_path: str, tier: str, keep_after: str) -> list[str]:
     """Retention: drop whole partition directories whose period is older
     than ``keep_after`` (YYYY-MM).  Returns the dropped partition names.

@@ -199,3 +199,35 @@ def test_partition_pruning_on_tier_read(spark, long_df, tmp_path):
     assert "PartitionFilters" in plan and "period" in plan
     # the pruned read returns only the kept periods
     assert df.filter("bucket_start < '2016-01-01'").count() == 0
+
+
+def test_compaction_merges_small_files(spark, long_df, tmp_path):
+    """Small-file compaction: a fragmented tier partition is rewritten
+    into the target file count with identical data; already-compact
+    partitions are skipped (idempotent)."""
+    from nrt_spark.rollup import compact_tiers, rollup_raw, write_tier
+
+    day = rollup_raw(long_df, "day").repartition(16)   # fragment it
+    write_tier(day, str(tmp_path), "day")
+    part = next((tmp_path / "tier=day").glob("period=*"))
+    n_before = len(list(part.glob("*.parquet")))
+    assert n_before >= 8
+    before = (spark.read.parquet(str(part))
+              .toPandas().sort_values(["doc_id", "bucket_start"])
+              .reset_index(drop=True))
+
+    stats = compact_tiers(spark, str(tmp_path), target_mb=128)
+    key = str(part.relative_to(tmp_path))
+    assert stats[key]["files_before"] == n_before
+    assert stats[key]["files_after"] == 1 and not stats[key]["skipped"]
+    after = (spark.read.parquet(str(part))
+             .toPandas().sort_values(["doc_id", "bucket_start"])
+             .reset_index(drop=True))
+    assert len(after) == len(before)
+    np.testing.assert_array_equal(after["n"].to_numpy(),
+                                  before["n"].to_numpy())
+    np.testing.assert_array_equal(after["vsum"].to_numpy(),
+                                  before["vsum"].to_numpy())
+    # second pass is a no-op
+    stats2 = compact_tiers(spark, str(tmp_path), target_mb=128)
+    assert stats2[key]["skipped"]
