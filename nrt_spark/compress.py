@@ -62,7 +62,7 @@ def _decompress_batches(batches, int_scale: float | None = None):
     float XOR."""
     import numpy as np
 
-    from nrt_spark.fastpath import INT_NAN_SENTINEL
+    from nrt_spark.fastpath import dequantize_ints
 
     for pdf in batches:
         if not len(pdf):
@@ -72,7 +72,7 @@ def _decompress_batches(batches, int_scale: float | None = None):
             vals = decode_float_streams([bytes(b)
                                          for b in pdf["val_block"]])
         else:
-            vals = [np.where(v == INT_NAN_SENTINEL, np.nan, v / int_scale)
+            vals = [dequantize_ints(v, int_scale)
                     for v in decode_int_streams([bytes(b)
                                                  for b in pdf["val_block"]])]
         lens = np.array([len(t) for t in ts], dtype=np.int64)

@@ -123,11 +123,17 @@ def encode_means_int(means: np.ndarray, scale: float) -> bytes:
     return encode_timestamps(ints)
 
 
+def dequantize_ints(ints: np.ndarray, scale: float) -> np.ndarray:
+    """Inverse of the scaled-int quantizer: sentinel -> NaN, ints/scale.
+    The ONE place the dequantize contract lives (the Spark read path and
+    the per-blob decoder both call it)."""
+    return np.where(ints == INT_NAN_SENTINEL, np.nan, ints / scale)
+
+
 def decode_means_int(blob: bytes, scale: float) -> np.ndarray:
     from nrt_spark.gorilla import decode_timestamps
 
-    ints = decode_timestamps(blob)
-    return np.where(ints == INT_NAN_SENTINEL, np.nan, ints / scale)
+    return dequantize_ints(decode_timestamps(blob), scale)
 
 
 def rollup_compress_tokens(tokens_df: DataFrame,

@@ -148,28 +148,48 @@ def compact_partition(spark, path: str, target_mb: int = 128) -> dict:
     jobs append a few small files per run, and a year of runs turns a
     partition into thousands of KB-sized files whose open/footer cost
     dominates scans.  Compaction reads the partition once, writes the
-    right-sized files to a staging directory, then swaps directories
-    (two renames — the same publish step Iceberg's ``rewrite_data_files``
-    performs as a metadata commit).  Skips partitions already at or
-    below the target file count.
+    right-sized files to a DOT-PREFIXED staging directory (invisible to
+    Spark partition discovery and to the glob patterns this module
+    uses), then publishes via rename.  Crash recovery runs first: a
+    stale staging dir is discarded, and a partition stranded mid-swap
+    (backup present, live dir missing) is restored before anything
+    else happens — so re-running after a kill at any point converges.
+    On object stores use the catalog's rewrite (e.g. Iceberg
+    ``rewrite_data_files``); this operates on local/NFS paths only.
 
     Returns:
         {files_before, files_after, bytes, skipped}
     """
+    if target_mb <= 0:
+        raise ValueError("target_mb must be positive")
+    if "://" in path:
+        raise ValueError(
+            "compact_partition renames local/NFS directories; on object "
+            "stores use the table format's rewrite (Iceberg "
+            "rewrite_data_files)")
     p = Path(path)
+    staged = p.parent / f".{p.name}.compact"
+    backup = p.parent / f".{p.name}.old"
+    # crash recovery (idempotent): stale staging is garbage; a missing
+    # live dir with a backup means we died between the two renames
+    if staged.exists():
+        shutil.rmtree(staged)
+    if backup.exists():
+        if p.exists():
+            shutil.rmtree(backup)          # died before backup cleanup
+        else:
+            backup.rename(p)               # died mid-swap: restore
     files = sorted(p.glob("*.parquet"))
     total = sum(f.stat().st_size for f in files)
     n_out = max(1, -(-total // (target_mb << 20)))
     if len(files) <= n_out:
         return {"files_before": len(files), "files_after": len(files),
                 "bytes": total, "skipped": True}
-    staged = str(p) + ".compact"
     (spark.read.parquet(str(p)).coalesce(int(n_out))
-     .write.mode("overwrite").parquet(staged))
-    old = str(p) + ".old"
-    Path(str(p)).rename(old)
-    Path(staged).rename(str(p))
-    shutil.rmtree(old)
+     .write.mode("overwrite").parquet(str(staged)))
+    p.rename(backup)
+    staged.rename(p)
+    shutil.rmtree(backup)
     after = len(list(p.glob("*.parquet")))
     return {"files_before": len(files), "files_after": after,
             "bytes": total, "skipped": False}

@@ -213,6 +213,8 @@ def test_pack_sequences_invariants(spark):
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
 
 
+@pytest.mark.skipif(not __import__("pathlib").Path(
+    "/root/testdata/sf0.001").exists(), reason="driver testdata absent")
 def test_approx_distinct_within_error_bound(spark):
     """HLL++ sketches have no cross-engine oracle, but their relative
     error is bounded: compare against exact distinct counts on the

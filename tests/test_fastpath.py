@@ -88,12 +88,7 @@ def test_quantized_archive_spark_read_path(spark):
     """The scaled-int archive round-trips through the SPARK reader:
     decompress_tier(int_scale=...) recovers exactly the quantized day
     means the writer quantized (gap buckets -> NaN)."""
-    import numpy as np
-    from pyspark.sql import functions as F
-    from nrt_spark.datagen import generate_tokens
-    from nrt_spark.fastpath import rollup_compress_tokens
     from nrt_spark.compress import decompress_tier
-    from nrt_spark.tokens import decode_long
     from nrt_spark.rollup import rollup_raw
 
     toks = generate_tokens(spark, 80, n_obs=60)

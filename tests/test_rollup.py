@@ -231,3 +231,42 @@ def test_compaction_merges_small_files(spark, long_df, tmp_path):
     # second pass is a no-op
     stats2 = compact_tiers(spark, str(tmp_path), target_mb=128)
     assert stats2[key]["skipped"]
+
+
+def test_compaction_crash_recovery(spark, long_df, tmp_path):
+    """Killing compaction at either dangerous point must converge on
+    re-run: stale staging is discarded, and a partition stranded
+    mid-swap (backup exists, live dir gone) is restored.  Staging and
+    backup live in DOT-prefixed dirs so Spark partition discovery never
+    sees them as data."""
+    import shutil
+    from nrt_spark.rollup import compact_partition, rollup_raw, write_tier
+
+    day = rollup_raw(long_df, "day").repartition(8)
+    write_tier(day, str(tmp_path), "day")
+    part = next((tmp_path / "tier=day").glob("period=*"))
+    rows = spark.read.parquet(str(part)).count()
+
+    # crash state A: staged copy written, swap never happened
+    staged = part.parent / f".{part.name}.compact"
+    shutil.copytree(part, staged)
+    # partition discovery over the table root must not see the staging
+    assert spark.read.parquet(str(tmp_path / "tier=day")).count() == rows
+    s = compact_partition(spark, str(part), target_mb=128)
+    assert not staged.exists() and not s["skipped"]
+    assert spark.read.parquet(str(part)).count() == rows
+
+    # crash state B: died between the two renames (live dir missing)
+    backup = part.parent / f".{part.name}.old"
+    part.rename(backup)
+    s2 = compact_partition(spark, str(part), target_mb=128)
+    assert part.exists() and not backup.exists()
+    assert spark.read.parquet(str(part)).count() == rows
+    assert s2["skipped"]          # already compacted above
+
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        compact_partition(spark, str(part), target_mb=0)
+    with _pytest.raises(ValueError, match="object stores"):
+        compact_partition(spark, "hdfs://nn/x", target_mb=64)
