@@ -174,7 +174,7 @@ def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
     token table — single-process, no Spark.
 
     Checksum design: every tier bucket contributes an exact-integer term
-    ``day*1009 + rint(vsum*1e4) + n + rint(vmin*1e4) + rint(vmax*1e4)``
+    ``day*1009 + floor(vsum*1e4+.5) + n + floor(vmin*1e4+.5) + floor(vmax*1e4+.5)``
     (``day`` alone for all-gap buckets); the per-group sum is
     order-independent, so the driver's value-hash certifies every bucket
     of every tier without shipping 39k rows of literals.  vsum folds
@@ -210,12 +210,15 @@ def rollup_checksum_oracle(n_docs: int = 300, n_obs: int = 130
             vmax = np.full(nseg, -np.inf)
             np.minimum.at(vmin, seg[valid], values[valid])
             np.maximum.at(vmax, seg[valid], values[valid])
+            # floor(x + 0.5) is tie-FREE half-up on both engines; np.rint
+            # (half-even) vs Spark F.round (half-up) would diverge on a
+            # value distribution that lands scaled sums near .5
             term = np.where(
                 n > 0,
                 bdays * 1009
-                + np.rint(vsum * SCALE).astype(np.int64) + n
-                + np.rint(np.where(n > 0, vmin, 0) * SCALE).astype(np.int64)
-                + np.rint(np.where(n > 0, vmax, 0) * SCALE).astype(np.int64),
+                + np.floor(vsum * SCALE + 0.5).astype(np.int64) + n
+                + np.floor(np.where(n > 0, vmin, 0) * SCALE + 0.5).astype(np.int64)
+                + np.floor(np.where(n > 0, vmax, 0) * SCALE + 0.5).astype(np.int64),
                 bdays)
             key = (tier, grp)
             cur = acc.setdefault(key, [0, 0, 0])

@@ -1498,7 +1498,7 @@ def _report_oracle_sql(monitor: str, **params):
     rows = []
     for doc, mask, dd, proc in zip(pdf["doc_id"], pdf["mask"],
                                    pdf["detection_date"], pdf["process"]):
-        p = "NULL" if (proc != proc) else f"CAST('{proc!r}' AS DOUBLE)"
+        p = "NULL" if (proc != proc) else f"CAST('{float(proc)!r}' AS DOUBLE)"
         rows.append(f"('{doc}', {int(mask)}, {int(dd)}, {p})")
     sql = ("SELECT doc_id, CAST(mask AS INT) AS mask, "
            "CAST(detection_date AS INT) AS detection_date, "
@@ -1636,7 +1636,7 @@ def nrt_rollup_checksum(spark, sf_dir):
     per (tier, doc-group) order-independent integer checksums over
     (bucket day, vsum, n, vmin, vmax), compared against the
     single-process numpy twin (oracle.rollup_checksum_oracle).  vsum
-    enters as rint(vsum*1e4) — exact because tier sums fold in the same
+    enters as floor(vsum*1e4+.5) — exact because tier sums fold in the same
     order in both engines (fastpath parity contract)."""
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.tokens import decode_long
@@ -1648,12 +1648,14 @@ def nrt_rollup_checksum(spark, sf_dir):
     for tier in ("day", "week", "month"):
         r = rollup_raw(long_df, tier)
         day_num = F.datediff("bucket_start", F.lit("1970-01-01"))
+        # floor(x + 0.5) = tie-free half-up, same rule as the numpy twin
+        # (F.round is HALF_UP but np.rint is half-even; see ADVICE r2)
         term = F.when(
             F.col("n") > 0,
             day_num.cast("long") * 1009
-            + F.round(F.col("vsum") * 10000).cast("long") + F.col("n")
-            + F.round(F.col("vmin") * 10000).cast("long")
-            + F.round(F.col("vmax") * 10000).cast("long")
+            + F.floor(F.col("vsum") * 10000 + 0.5) + F.col("n")
+            + F.floor(F.col("vmin") * 10000 + 0.5)
+            + F.floor(F.col("vmax") * 10000 + 0.5)
         ).otherwise(day_num.cast("long"))
         parts.append(
             r.groupBy(F.lit(tier).alias("tier"), _doc_grp())
@@ -1671,7 +1673,7 @@ def _gorilla_stats_sql() -> str:
 
     pdf = gorilla_stats_oracle(n_docs=200, n_obs=130)
     rows = ",\n".join(
-        f"('{t}', {int(p)}, {int(b)}, CAST('{bp!r}' AS DOUBLE), {int(m)})"
+        f"('{t}', {int(p)}, {int(b)}, CAST('{float(bp)!r}' AS DOUBLE), {int(m)})"
         for t, p, b, bp, m in pdf.itertuples(index=False))
     return ("SELECT tier, CAST(n_points AS BIGINT) AS n_points, "
             "CAST(n_bytes AS BIGINT) AS n_bytes, "
@@ -1817,6 +1819,15 @@ def nrt_streaming_monitor_report(spark, sf_dir):
         .write.parquet(tmp + "/src/chunk0"))
     (obs.filter("day > 17333").coalesce(1)
         .write.parquet(tmp + "/src/chunk1"))
+    # FileStreamSource orders files by modification time; on a
+    # coarse-mtime filesystem a tie could deliver chunk1 first, making
+    # every chunk0 row late behind the per-series watermark.  Force
+    # strictly increasing mtimes so chunk0 is always micro-batch 0.
+    import glob as _glob
+    import os as _os
+    for i, chunk in enumerate(("chunk0", "chunk1")):
+        for f in _glob.glob(f"{tmp}/src/{chunk}/*.parquet"):
+            _os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     stream = (spark.readStream
               .schema("doc_id string, day int, value double")
               .option("maxFilesPerTrigger", "1")
@@ -1855,7 +1866,7 @@ def _streaming_rollup_sql() -> str:
             # pandas coerces the twin's None to NaN: render gap buckets
             # as SQL NULL, which is what Spark's null/0 mean produces
             "NULL" if (m is None or m != m)
-            else f"CAST('{m!r}' AS DOUBLE)")
+            else f"CAST('{float(m)!r}' AS DOUBLE)")
         for d, ts, n, m in pdf.itertuples(index=False))
     return ("SELECT doc_id, bucket_start, CAST(n AS BIGINT) AS n, "
             "CAST(mean AS DOUBLE) AS mean FROM (VALUES\n" + rows

@@ -246,12 +246,13 @@ def test_compaction_crash_recovery(spark, long_df, tmp_path):
     write_tier(day, str(tmp_path), "day")
     part = next((tmp_path / "tier=day").glob("period=*"))
     rows = spark.read.parquet(str(part)).count()
+    root_rows = spark.read.parquet(str(tmp_path / "tier=day")).count()
 
     # crash state A: staged copy written, swap never happened
     staged = part.parent / f".{part.name}.compact"
     shutil.copytree(part, staged)
     # partition discovery over the table root must not see the staging
-    assert spark.read.parquet(str(tmp_path / "tier=day")).count() == rows
+    assert spark.read.parquet(str(tmp_path / "tier=day")).count() == root_rows
     s = compact_partition(spark, str(part), target_mb=128)
     assert not staged.exists() and not s["skipped"]
     assert spark.read.parquet(str(part)).count() == rows
