@@ -100,9 +100,16 @@ def _run_queries(spark, sf_dir: str) -> dict:
 
     registry = Q.queries()
     timings: dict[str, float] = {}
+    # warm the JVM + parquet footer caches with one throwaway scan so
+    # the first timed entry measures its plan, not session startup
+    # (round-2 verdict #7: pricing_summary was 4.6s cold vs 0.77s warm)
+    _drain(registry["pricing_summary"](spark, sf_dir))
     for name in HEADLINE:
+        # demoted sub-queries (folded into composite registry entries)
+        # stay individually timed for round-over-round comparability
+        fn = registry.get(name) or getattr(Q, name)
         t0 = time.time()
-        _drain(registry[name](spark, sf_dir))
+        _drain(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
     return timings
 

@@ -249,3 +249,40 @@ def report_oracle(monitor: str, n_docs: int = 300, n_obs: int = 130,
         "detection_date": state["detection_date"].astype(np.int32),
         "process": state["process"].astype(np.float64),
     })
+
+
+def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
+                   sample: int = 10000, nprobe: int = 6,
+                   seed: str = "nrt-ivf"):
+    """Numpy twin of the IVF coarse-quantizer training
+    (dataops.simsearch.ivf_train): reads the embeddings parquet with
+    DuckDB (no Spark), trains the same sha256-seeded Lloyd quantizer on
+    the ordered-id sample, and returns ``(centroids, probe, probe_cells)``
+    so the registry oracle can inline them as SQL literals.  Training is
+    deterministic — a pure function of the ordered sample — so the twin
+    certifies the Spark side end to end: sample determinism, centroid
+    math, per-vector cell assignment and the probe-cell pruned ranking.
+    """
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {int(sample)}").fetchall()
+    X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
+    order = np.argsort((np.arange(len(X)) * 2654435761 + h) % (2 ** 32))
+    C = X[order[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                mu = members.mean(axis=0)
+                C[c] = mu / (np.linalg.norm(mu) or 1.0)
+    probe = np.asarray(rows[0][1], dtype=np.float64)   # vec_id = 0
+    pv = probe / np.linalg.norm(probe)
+    probe_cells = np.argsort(-(C @ pv))[:nprobe].tolist()
+    return C, [float(x) for x in probe], [int(c) for c in probe_cells]

@@ -36,6 +36,22 @@ def q(name: str, sql: str | None):
     return deco
 
 
+#: SQL for sub-queries that are folded into composite registry entries
+#: (the driver records at most 50 entries; composites keep every
+#: operator inside that window while the standalone functions stay
+#: importable for tests, bench and __spark_entry__).
+SUB_SQL: dict[str, object] = {}
+
+
+def sub(name: str, sql):
+    """Like :func:`q` but NOT driver-registered: stashes the oracle SQL
+    for reuse inside a composite entry's UNION ALL."""
+    def deco(fn):
+        SUB_SQL[name] = sql
+        return fn
+    return deco
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -101,7 +117,7 @@ def top_revenue_orders(spark, sf_dir):
             .select("o_orderkey", "o_orderpriority", "revenue_e4"))
 
 
-@q("semi_join_orders", """
+@sub("semi_join_orders", """
 SELECT o_orderstatus, count(*) AS n
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -115,7 +131,7 @@ def semi_join_orders(spark, sf_dir):
             .groupBy("o_orderstatus").agg(F.count("*").alias("n")))
 
 
-@q("anti_join_customers", """
+@sub("anti_join_customers", """
 SELECT c.c_mktsegment, count(*) AS n
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -160,7 +176,7 @@ def region_revenue(spark, sf_dir):
     )
 
 
-@q("setops_suppliers", """
+@sub("setops_suppliers", """
 WITH disc AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_discount > 0.06),
      bulk AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity > 45)
 SELECT 'union' AS op, l_suppkey FROM (SELECT * FROM disc UNION SELECT * FROM bulk)
@@ -182,7 +198,7 @@ def setops_suppliers(spark, sf_dir):
     )
 
 
-@q("topk_orders", """
+@sub("topk_orders", """
 SELECT o_orderkey, round(o_totalprice, 2) AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """)
@@ -192,7 +208,7 @@ def topk_orders(spark, sf_dir):
             .select("o_orderkey", F.round("o_totalprice", 2).alias("price")))
 
 
-@q("rollup_pricing", """
+@sub("rollup_pricing", """
 SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -207,7 +223,7 @@ def rollup_pricing(spark, sf_dir):
                     "sum_qty", "n"))
 
 
-@q("distinct_parts_per_flag", """
+@sub("distinct_parts_per_flag", """
 SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps
 FROM lineitem GROUP BY l_returnflag
@@ -218,7 +234,7 @@ def distinct_parts_per_flag(spark, sf_dir):
                  F.countDistinct("l_suppkey").alias("n_supps")))
 
 
-@q("window_rank_lineitems", """
+@sub("window_rank_lineitems", """
 SELECT l_orderkey, l_linenumber, rn FROM (
   SELECT l_orderkey, l_linenumber,
          row_number() OVER (PARTITION BY l_orderkey
@@ -234,7 +250,7 @@ def window_rank_lineitems(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "rn"))
 
 
-@q("json_extract_events", """
+@sub("json_extract_events", """
 SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
@@ -289,7 +305,7 @@ def asof_join_clicks(spark, sf_dir):
                     F.round("last_click.c_value", 2).alias("click_value")))
 
 
-@q("supplier_part_revenue", """
+@sub("supplier_part_revenue", """
 SELECT s.s_name, n.n_name AS nation, p.p_brand,
        CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
@@ -321,7 +337,7 @@ def supplier_part_revenue(spark, sf_dir):
     )
 
 
-@q("orders_above_cust_avg", """
+@sub("orders_above_cust_avg", """
 SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
 FROM orders o
 WHERE o.o_totalprice > 1.8 * (
@@ -342,7 +358,7 @@ def orders_above_cust_avg(spark, sf_dir):
     """)
 
 
-@q("pivot_status_qty", """
+@sub("pivot_status_qty", """
 SELECT l_returnflag,
        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
        round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
@@ -366,7 +382,7 @@ def pivot_status_qty(spark, sf_dir):
 # Time-series on events: rollups, gap-fill, sequential statistics
 # =========================================================================
 
-@q("events_rollup_day", """
+@sub("events_rollup_day", """
 SELECT user_id, date_trunc('day', ts)::DATE AS day,
        count(value) AS n, round(sum(value), 4) AS vsum,
        round(avg(value), 6) AS mean,
@@ -389,7 +405,7 @@ def events_rollup_day(spark, sf_dir):
     )
 
 
-@q("events_rollup_week", """
+@sub("events_rollup_week", """
 SELECT user_id, date_trunc('week', ts)::DATE AS week,
        count(value) AS n, round(avg(value), 6) AS mean,
        round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
@@ -427,7 +443,7 @@ def bitmask_filter_events(spark, sf_dir):
                  F.sum(k).alias("k_sum")))
 
 
-@q("events_interarrival", """
+@sub("events_interarrival", """
 WITH gaps AS (
   SELECT user_id,
          epoch(ts - lag(ts) OVER (PARTITION BY user_id
@@ -482,7 +498,7 @@ def dedup_edit_distance(spark, sf_dir):
             .select("doc_a", "doc_b", "dist"))
 
 
-@q("events_rollup_month", """
+@sub("events_rollup_month", """
 SELECT user_id, date_trunc('month', ts)::DATE AS month,
        count(value) AS n, round(avg(value), 6) AS mean,
        round(max_by(value, ts), 4) AS last
@@ -538,7 +554,7 @@ def events_gapfill_day(spark, sf_dir):
         F.round(F.last("mean", ignorenulls=True).over(w), 6).alias("mean_ff"))
 
 
-@q("events_ewma", """
+@sub("events_ewma", """
 WITH ordered AS (
   SELECT user_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -565,7 +581,7 @@ def events_ewma(spark, sf_dir):
     )
 
 
-@q("events_cusum", """
+@sub("events_cusum", """
 WITH hist AS (
   SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
          count(*) AS histsize
@@ -600,7 +616,7 @@ def events_cusum(spark, sf_dir):
     )
 
 
-@q("events_moving_sum", """
+@sub("events_moving_sum", """
 WITH r AS (
   SELECT user_id, ts, event_id, value,
          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -625,7 +641,7 @@ def events_moving_sum(spark, sf_dir):
     )
 
 
-@q("events_consec_outliers", """
+@sub("events_consec_outliers", """
 WITH hist AS (
   SELECT user_id,
          quantile_cont(value, 0.25) AS q25, quantile_cont(value, 0.75) AS q75
@@ -670,7 +686,7 @@ def events_consec_outliers(spark, sf_dir):
     )
 
 
-@q("events_max_error_run", """
+@sub("events_max_error_run", """
 WITH seq AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -860,12 +876,12 @@ FROM scores
 """
 
 
-@q("langid_docs", _langid_sql())
+@sub("langid_docs", _langid_sql())
 def langid_docs(spark, sf_dir):
     return TS.language_id(_t(spark, sf_dir, "documents"))
 
 
-@q("quality_histogram", """
+@sub("quality_histogram", """
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
   FROM documents
@@ -894,7 +910,7 @@ def quality_histogram(spark, sf_dir):
             .groupBy("quality").agg(F.count("*").alias("n_docs")))
 
 
-@q("token_counts_by_source", """
+@sub("token_counts_by_source", """
 WITH norm AS (
   SELECT source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
   FROM documents
@@ -1306,7 +1322,7 @@ def tokenize_docs(spark, sf_dir):
                  F.sum(tok_id).alias("tok_checksum")))
 
 
-@q("bpe_token_counts", r"""
+@sub("bpe_token_counts", r"""
 SELECT source,
        CAST(sum(len(regexp_extract_all(text,
          '''[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT)
@@ -1373,7 +1389,7 @@ def token_roundtrip_invariant(spark, sf_dir):
                  .alias("mismatches")))
 
 
-@q("distinct_approx_events", None)
+@sub("distinct_approx_events", None)
 def distinct_approx_events(spark, sf_dir):
     """HLL++ approximate distinct counts (engine-specific sketches have
     no cross-engine oracle; rows-only check)."""
@@ -1384,7 +1400,7 @@ def distinct_approx_events(spark, sf_dir):
                  .alias("approx_events")))
 
 
-@q("band_ratio_projection", None)
+@sub("band_ratio_projection", None)
 def band_ratio_projection(spark, sf_dir):
     """NDVI-style band-ratio projection with inf->NULL handling
     (reference F8: (B8A-B04)/(B8A+B04), conftest.py:36) over the band
@@ -1762,11 +1778,54 @@ def lsh_topk_embeddings(spark, sf_dir):
     return SS.lsh_topk(emb, probe, k=10, n_planes=6)
 
 
-@q("ivf_topk_embeddings", None)
+def _ivf_topk_sql(n_cells: int = 16, iters: int = 8, k: int = 10,
+                  nprobe: int = 6) -> str:
+    """Oracle for the IVF ANN query.  The coarse quantizer is a pure
+    function of the ordered-id sample, so the numpy twin
+    (oracle.ivf_ann_oracle) retrains it straight from the parquet and
+    this SQL inlines the centroids + the probe's nearest cells as
+    literals; cell assignment (argmax of the 16 centroid dots, first-max
+    tie-break on both engines) and the pruned cosine ranking run in SQL.
+    The twin reads ``$NRT_TEST_SF_DIR`` (default sf0.01 — the scale the
+    driver compares at), matching the sf_dir the query receives."""
+    import os
+
+    from nrt_spark.oracle import ivf_ann_oracle
+
+    sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    C, probe, cells = ivf_ann_oracle(sf_dir, n_cells=n_cells, iters=iters,
+                                     nprobe=nprobe)
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for c in C)
+    p_lit = "[" + ", ".join(repr(float(x)) for x in probe) + "]::DOUBLE[]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probe AS (SELECT {p_lit} AS p),
+assigned AS (
+  SELECT vec_id, v,
+         list_position([{dots}], list_max([{dots}])) - 1 AS cell
+  FROM e
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, probe.p)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(probe.p, probe.p))), 6) AS cosine
+FROM assigned a, probe
+WHERE a.cell IN ({', '.join(str(c) for c in cells)})
+ORDER BY cosine DESC, a.vec_id LIMIT {k}
+"""
+
+
+@q("ivf_topk_embeddings", lambda: _ivf_topk_sql())
 def ivf_topk_embeddings(spark, sf_dir):
     """IVF approximate nearest neighbours: deterministic k-means coarse
     quantizer (ordered sample — reproducible on any partitioning), probe
-    the nearest cells only (the second ANN scale path next to LSH)."""
+    the nearest cells only (the second ANN scale path next to LSH).
+    Oracle-checked end to end: the numpy twin retrains the quantizer
+    from the same parquet (bit-exact centroids) and the SQL reassigns
+    every vector's cell from the centroid literals."""
     emb = _t(spark, sf_dir, "embeddings")
     C = SS.ivf_train(emb, n_cells=16, iters=8)
     probe = [float(x) for x in
@@ -1911,8 +1970,368 @@ def nrt_streaming_rollup(spark, sf_dir):
         f"FROM {name}")
 
 
+
+# =========================================================================
+# Composite entries: fold schema-compatible sub-queries into one driver
+# row each.  The driver's correctness harness records at most 50
+# registry entries; composites keep EVERY operator's oracle inside that
+# window (round-2 verdict #1) while the standalone functions above stay
+# importable for tests, bench and __spark_entry__.  Each composite is a
+# tagged UNION ALL with identical column names/types on both engines.
+# =========================================================================
+
+_NS = "CAST(NULL AS VARCHAR)"
+_ND = "CAST(NULL AS DOUBLE)"
+_NB = "CAST(NULL AS BIGINT)"
+
+
+def _null(kind: str):
+    return F.lit(None).cast(kind)
+
+
+@q("semi_anti_joins", f"""
+SELECT 'semi' AS part, o_orderstatus AS grp, n
+FROM ({SUB_SQL['semi_join_orders']}) s
+UNION ALL
+SELECT 'anti' AS part, c_mktsegment AS grp, n
+FROM ({SUB_SQL['anti_join_customers']}) a
+""")
+def semi_anti_joins(spark, sf_dir):
+    """J4 semi + anti join surface in one driver row."""
+    semi = semi_join_orders(spark, sf_dir)
+    anti = anti_join_customers(spark, sf_dir)
+    return (
+        semi.select(F.lit("semi").alias("part"),
+                    F.col("o_orderstatus").alias("grp"), "n")
+        .unionAll(anti.select(F.lit("anti").alias("part"),
+                              F.col("c_mktsegment").alias("grp"), "n"))
+    )
+
+
+@q("order_limit_setops", f"""
+SELECT 'setops_' || op AS part, l_suppkey AS k1, {_NB} AS k2, {_ND} AS v
+FROM ({SUB_SQL['setops_suppliers']}) s
+UNION ALL
+SELECT 'topk' AS part, o_orderkey AS k1, {_NB} AS k2, price AS v
+FROM ({SUB_SQL['topk_orders']}) t
+UNION ALL
+SELECT 'rank' AS part, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+       CAST(rn AS DOUBLE) AS v
+FROM ({SUB_SQL['window_rank_lineitems']}) r
+""")
+def order_limit_setops(spark, sf_dir):
+    """O10 set ops + total-order top-k + per-group window rank."""
+    so = setops_suppliers(spark, sf_dir)
+    tk = topk_orders(spark, sf_dir)
+    rk = window_rank_lineitems(spark, sf_dir)
+    return (
+        so.select(F.concat(F.lit("setops_"), F.col("op")).alias("part"),
+                  F.col("l_suppkey").alias("k1"),
+                  _null("long").alias("k2"), _null("double").alias("v"))
+        .unionAll(tk.select(F.lit("topk").alias("part"),
+                            F.col("o_orderkey").alias("k1"),
+                            _null("long").alias("k2"),
+                            F.col("price").alias("v")))
+        .unionAll(rk.select(F.lit("rank").alias("part"),
+                            F.col("l_orderkey").alias("k1"),
+                            F.col("l_linenumber").cast("long").alias("k2"),
+                            F.col("rn").cast("double").alias("v")))
+    )
+
+
+@q("agg_variants", f"""
+SELECT 'rollup' AS part, rf AS k1, ls AS k2, sum_qty AS v, n
+FROM ({SUB_SQL['rollup_pricing']}) r
+UNION ALL
+SELECT 'distinct' AS part, l_returnflag AS k1, {_NS} AS k2,
+       CAST(n_parts AS DOUBLE) AS v, n_supps AS n
+FROM ({SUB_SQL['distinct_parts_per_flag']}) d
+UNION ALL
+SELECT 'pivot' AS part, l_returnflag AS k1, 'O' AS k2, qty_O AS v, n
+FROM ({SUB_SQL['pivot_status_qty']}) p1
+UNION ALL
+SELECT 'pivot' AS part, l_returnflag AS k1, 'F' AS k2, qty_F AS v, n
+FROM ({SUB_SQL['pivot_status_qty']}) p2
+UNION ALL
+SELECT 'approx_users_ok' AS part, event_type AS k1, {_NS} AS k2, 1.0 AS v,
+       count(DISTINCT user_id) AS n
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'approx_events_ok' AS part, event_type AS k1, {_NS} AS k2, 1.0 AS v,
+       count(DISTINCT event_id) AS n
+FROM events GROUP BY event_type
+""")
+def agg_variants(spark, sf_dir):
+    """A11 aggregation variants: ROLLUP grouping sets, exact distinct,
+    pivot, and the HLL++ sketch certified WITHIN TOLERANCE against the
+    exact count (rsd 0.02/0.01, asserted within 5 sigma — deterministic
+    for a fixed input, so the cross-engine hash is stable; the raw
+    sketch values themselves have no cross-engine oracle)."""
+    ro = rollup_pricing(spark, sf_dir)
+    di = distinct_parts_per_flag(spark, sf_dir)
+    pv = pivot_status_qty(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("au"),
+        F.approx_count_distinct("event_id", 0.01).alias("ae"),
+        F.countDistinct("user_id").alias("eu"),
+        F.countDistinct("event_id").alias("ee"))
+
+    def ok(approx, exact, tol):
+        return (F.abs(F.col(approx) - F.col(exact))
+                <= tol * F.col(exact)).cast("double")
+
+    return (
+        ro.select(F.lit("rollup").alias("part"), F.col("rf").alias("k1"),
+                  F.col("ls").alias("k2"), F.col("sum_qty").alias("v"), "n")
+        .unionAll(di.select(F.lit("distinct").alias("part"),
+                            F.col("l_returnflag").alias("k1"),
+                            _null("string").alias("k2"),
+                            F.col("n_parts").cast("double").alias("v"),
+                            F.col("n_supps").alias("n")))
+        .unionAll(pv.select(F.lit("pivot").alias("part"),
+                            F.col("l_returnflag").alias("k1"),
+                            F.lit("O").alias("k2"),
+                            F.col("qty_O").alias("v"), "n"))
+        .unionAll(pv.select(F.lit("pivot").alias("part"),
+                            F.col("l_returnflag").alias("k1"),
+                            F.lit("F").alias("k2"),
+                            F.col("qty_F").alias("v"), "n"))
+        .unionAll(ap.select(F.lit("approx_users_ok").alias("part"),
+                            F.col("event_type").alias("k1"),
+                            _null("string").alias("k2"),
+                            ok("au", "eu", 0.10).alias("v"),
+                            F.col("eu").alias("n")))
+        .unionAll(ap.select(F.lit("approx_events_ok").alias("part"),
+                            F.col("event_type").alias("k1"),
+                            _null("string").alias("k2"),
+                            ok("ae", "ee", 0.05).alias("v"),
+                            F.col("ee").alias("n")))
+    )
+
+
+@q("star_subquery_suite", f"""
+SELECT 'star' AS part, s_name AS k1, nation AS k2, p_brand AS k3,
+       revenue_e4 AS v_e4, CAST(n_lines AS DOUBLE) AS v
+FROM ({SUB_SQL['supplier_part_revenue']}) s
+UNION ALL
+SELECT 'corr_subq' AS part, CAST(o_orderkey AS VARCHAR) AS k1,
+       {_NS} AS k2, {_NS} AS k3, {_NB} AS v_e4, price AS v
+FROM ({SUB_SQL['orders_above_cust_avg']}) c
+""")
+def star_subquery_suite(spark, sf_dir):
+    """Fact-to-dims star join + correlated scalar subquery."""
+    st = supplier_part_revenue(spark, sf_dir)
+    co = orders_above_cust_avg(spark, sf_dir)
+    return (
+        st.select(F.lit("star").alias("part"), F.col("s_name").alias("k1"),
+                  F.col("nation").alias("k2"), F.col("p_brand").alias("k3"),
+                  F.col("revenue_e4").alias("v_e4"),
+                  F.col("n_lines").cast("double").alias("v"))
+        .unionAll(co.select(F.lit("corr_subq").alias("part"),
+                            F.col("o_orderkey").cast("string").alias("k1"),
+                            _null("string").alias("k2"),
+                            _null("string").alias("k3"),
+                            _null("long").alias("v_e4"),
+                            F.col("price").alias("v")))
+    )
+
+
+@q("events_rollup_tiers", f"""
+SELECT 'day' AS tier, user_id, day AS bucket, n, vsum, mean, vmin, vmax, last
+FROM ({SUB_SQL['events_rollup_day']}) d
+UNION ALL
+SELECT 'week' AS tier, user_id, week AS bucket, n, {_ND} AS vsum, mean,
+       vmin, vmax, {_ND} AS last
+FROM ({SUB_SQL['events_rollup_week']}) w
+UNION ALL
+SELECT 'month' AS tier, user_id, month AS bucket, n, {_ND} AS vsum, mean,
+       {_ND} AS vmin, {_ND} AS vmax, last
+FROM ({SUB_SQL['events_rollup_month']}) m
+""")
+def events_rollup_tiers(spark, sf_dir):
+    """A10: all three continuous-aggregate tiers in one driver row
+    (each tier is still one partial+final hash agg, one shuffle)."""
+    d = events_rollup_day(spark, sf_dir)
+    w = events_rollup_week(spark, sf_dir)
+    m = events_rollup_month(spark, sf_dir)
+    nd = _null("double")
+    return (
+        d.select(F.lit("day").alias("tier"), "user_id",
+                 F.col("day").alias("bucket"), "n", "vsum", "mean",
+                 "vmin", "vmax", "last")
+        .unionAll(w.select(F.lit("week").alias("tier"), "user_id",
+                           F.col("week").alias("bucket"), "n",
+                           nd.alias("vsum"), "mean", "vmin", "vmax",
+                           nd.alias("last")))
+        .unionAll(m.select(F.lit("month").alias("tier"), "user_id",
+                           F.col("month").alias("bucket"), "n",
+                           nd.alias("vsum"), "mean", nd.alias("vmin"),
+                           nd.alias("vmax"), "last"))
+    )
+
+
+@q("events_process_values", f"""
+SELECT 'ewma' AS monitor, user_id, ewma AS process, {_NB} AS histsize
+FROM ({SUB_SQL['events_ewma']}) e
+UNION ALL
+SELECT 'cusum' AS monitor, user_id, process, histsize
+FROM ({SUB_SQL['events_cusum']}) c
+UNION ALL
+SELECT 'mosum' AS monitor, user_id, mosum AS process, {_NB} AS histsize
+FROM ({SUB_SQL['events_moving_sum']}) m
+""")
+def events_process_values(spark, sf_dir):
+    """A5-A7/W1-W3 SQL-expressible monitor primitives: final EWMA,
+    CUSUM and MOSUM process values per series."""
+    e = events_ewma(spark, sf_dir)
+    c = events_cusum(spark, sf_dir)
+    m = events_moving_sum(spark, sf_dir)
+    nb = _null("long")
+    return (
+        e.select(F.lit("ewma").alias("monitor"), "user_id",
+                 F.col("ewma").alias("process"), nb.alias("histsize"))
+        .unionAll(c.select(F.lit("cusum").alias("monitor"), "user_id",
+                           "process", "histsize"))
+        .unionAll(m.select(F.lit("mosum").alias("monitor"), "user_id",
+                           F.col("mosum").alias("process"),
+                           nb.alias("histsize")))
+    )
+
+
+@q("events_run_lengths", f"""
+SELECT 'trailing_outlier' AS kind, user_id, trailing_outliers AS run_len
+FROM ({SUB_SQL['events_consec_outliers']}) t
+UNION ALL
+SELECT 'max_error_run' AS kind, user_id, max_run AS run_len
+FROM ({SUB_SQL['events_max_error_run']}) m
+""")
+def events_run_lengths(spark, sf_dir):
+    """A8/W5 consecutive-run counters: trailing IQR-outlier run and
+    longest error-event run per series."""
+    t = events_consec_outliers(spark, sf_dir)
+    m = events_max_error_run(spark, sf_dir)
+    return (
+        t.select(F.lit("trailing_outlier").alias("kind"), "user_id",
+                 F.col("trailing_outliers").alias("run_len"))
+        .unionAll(m.select(F.lit("max_error_run").alias("kind"), "user_id",
+                           F.col("max_run").alias("run_len")))
+    )
+
+
+@q("events_scalar_stats", f"""
+SELECT 'json_k' AS part, event_type AS grp, avg_k AS v1, {_ND} AS v2, n
+FROM ({SUB_SQL['json_extract_events']}) j
+UNION ALL
+SELECT 'interarrival' AS part, CAST(user_id AS VARCHAR) AS grp,
+       mean_gap_s AS v1, max_gap_s AS v2, n_gaps AS n
+FROM ({SUB_SQL['events_interarrival']}) i
+""")
+def events_scalar_stats(spark, sf_dir):
+    """O11 JSON scalar extraction + W7 inter-arrival diagnostics."""
+    j = json_extract_events(spark, sf_dir)
+    i = events_interarrival(spark, sf_dir)
+    return (
+        j.select(F.lit("json_k").alias("part"),
+                 F.col("event_type").alias("grp"),
+                 F.col("avg_k").alias("v1"), _null("double").alias("v2"),
+                 "n")
+        .unionAll(i.select(F.lit("interarrival").alias("part"),
+                           F.col("user_id").cast("string").alias("grp"),
+                           F.col("mean_gap_s").alias("v1"),
+                           F.col("max_gap_s").alias("v2"),
+                           F.col("n_gaps").alias("n")))
+    )
+
+
+@q("doc_lang_quality", f"""
+SELECT 'langid' AS part, CAST(doc_id AS VARCHAR) AS k1, pred_lang AS k2,
+       {_ND} AS v, CAST(1 AS BIGINT) AS n
+FROM ({SUB_SQL['langid_docs']}) l
+UNION ALL
+SELECT 'quality' AS part, {_NS} AS k1, {_NS} AS k2, quality AS v,
+       n_docs AS n
+FROM ({SUB_SQL['quality_histogram']}) q
+""")
+def doc_lang_quality(spark, sf_dir):
+    """Language-ID (per-doc prediction) + quality-score histogram."""
+    l = langid_docs(spark, sf_dir)
+    h = quality_histogram(spark, sf_dir)
+    return (
+        l.select(F.lit("langid").alias("part"),
+                 F.col("doc_id").cast("string").alias("k1"),
+                 F.col("pred_lang").alias("k2"), _null("double").alias("v"),
+                 F.lit(1).cast("long").alias("n"))
+        .unionAll(h.select(F.lit("quality").alias("part"),
+                           _null("string").alias("k1"),
+                           _null("string").alias("k2"),
+                           F.col("quality").alias("v"),
+                           F.col("n_docs").alias("n")))
+    )
+
+
+@q("token_count_suite", f"""
+SELECT 'whitespace' AS part, source, total_words AS v1,
+       total_subwords AS v2, n_docs
+FROM ({SUB_SQL['token_counts_by_source']}) w
+UNION ALL
+SELECT 'bpe' AS part, source, total_bpe_tokens AS v1, {_NB} AS v2, n_docs
+FROM ({SUB_SQL['bpe_token_counts']}) b
+""")
+def token_count_suite(spark, sf_dir):
+    """Whitespace + subword token counting and the GPT-2-style BPE
+    pre-tokenizer regex, per source."""
+    w = token_counts_by_source(spark, sf_dir)
+    b = bpe_token_counts(spark, sf_dir)
+    return (
+        w.select(F.lit("whitespace").alias("part"), "source",
+                 F.col("total_words").alias("v1"),
+                 F.col("total_subwords").alias("v2"), "n_docs")
+        .unionAll(b.select(F.lit("bpe").alias("part"), "source",
+                           F.col("total_bpe_tokens").alias("v1"),
+                           _null("long").alias("v2"), "n_docs"))
+    )
+
+
+# =========================================================================
+# Driver emission order: the correctness harness records the FIRST 50
+# entries of queries()/oracle_sql(), so the engine-specific flagships go
+# first and the two streaming entries sit LAST (a streaming crash can't
+# shadow any other row).  tests/test_queries_registry.py pins both the
+# cap and the ordering.
+# =========================================================================
+
+DRIVER_ORDER = [
+    # engine flagships: monitor reports, state resume, tiers, codecs, ANN
+    "nrt_ewma_report", "nrt_cusum_report", "nrt_mosum_report",
+    "nrt_iqr_report", "nrt_ccdc_report", "nrt_incremental_report",
+    "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_gorilla_stats",
+    "pack_token_sequences", "lsh_topk_embeddings", "ivf_topk_embeddings",
+    "multimodal_features",
+    # relational / time-series / training-data surface
+    "pricing_summary", "top_revenue_orders", "semi_anti_joins",
+    "region_revenue", "order_limit_setops", "agg_variants",
+    "star_subquery_suite", "asof_join_clicks",
+    "events_rollup_tiers", "events_gapfill_day", "events_process_values",
+    "events_run_lengths", "events_scalar_stats", "bitmask_filter_events",
+    "sessionize_events",
+    "dedup_exact_docs", "dedup_edit_distance", "dedup_jaccard_pairs",
+    "minhash_lsh_pairs", "simhash_fingerprints", "dedup_clusters",
+    "decontaminate_docs", "repetition_stats",
+    "doc_lang_quality", "token_count_suite", "doc_fingerprints",
+    "tokenize_docs", "top_terms_by_source", "split_sample_docs",
+    "cosine_topk_embeddings", "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "token_roundtrip_invariant", "band_ratio_checksum",
+    # streaming LAST (crash isolation)
+    "nrt_streaming_monitor_report", "nrt_streaming_rollup",
+]
+
+
 def queries():
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    assert set(DRIVER_ORDER) == set(REGISTRY), (
+        sorted(set(DRIVER_ORDER) ^ set(REGISTRY)))
+    return {name: REGISTRY[name][0] for name in DRIVER_ORDER}
 
 
 _sql_cache: dict[str, str] = {}
@@ -1923,7 +2342,8 @@ def oracle_sql():
     generated monitor-report oracles) are rendered lazily and cached —
     importing this module stays cheap."""
     out = {}
-    for name, (_fn, sql) in REGISTRY.items():
+    for name in DRIVER_ORDER:
+        _fn, sql = REGISTRY[name]
         if sql is None:
             continue
         if callable(sql):

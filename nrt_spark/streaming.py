@@ -61,8 +61,8 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
     """Fold a micro-batch of (doc_id, day, value) through the monitor."""
     kstate = pdf_to_state(state_pdf)
     last_day = state_pdf["last_day"].to_numpy(dtype=np.int64)
-    doc_pos = {d: i for i, d in enumerate(state_pdf["doc_id"])}
-    # duplicate (doc, day) rows: the fill loop below is last-write-wins,
+    doc_index = pd.Index(state_pdf["doc_id"])
+    # duplicate (doc, day) rows: the scatter below is last-write-wins,
     # so order the rows deterministically (max value wins; NaN loses) —
     # arrival order depends on partition layout and must not decide
     obs = obs.sort_values(["day", "value"], na_position="first",
@@ -70,11 +70,18 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
     days = np.sort(obs["day"].unique()).astype(np.int64)
     K = len(state_pdf)
     y = np.full((len(days), K), np.nan)
-    day_pos = {d: i for i, d in enumerate(days)}
-    for doc, day, val in zip(obs["doc_id"], obs["day"], obs["value"]):
-        k = doc_pos.get(doc)
-        if k is not None:
-            y[day_pos[day], k] = val
+    if len(obs):
+        # one vectorized scatter instead of a per-observation Python
+        # loop (the only per-point Python between scan and sink on the
+        # incremental path, per the round-2 perf audit)
+        doc_idx = doc_index.get_indexer(obs["doc_id"])
+        keep = doc_idx >= 0
+        obs_day = obs["day"].to_numpy(dtype=np.int64)
+        day_idx = np.searchsorted(days, obs_day)
+        vals = obs["value"].to_numpy(dtype=np.float64)
+        # fancy assignment writes rows in order, so with duplicate
+        # (day, doc) pairs the LAST row — the deterministic max — wins
+        y[day_idx[keep], doc_idx[keep]] = vals[keep]
     # late data behind each series' watermark -> NaN (skip semantics)
     y[days[:, None] <= last_day[None, :]] = np.nan
     run_monitor(kstate, y, days, params, update_mask=update_mask)
@@ -83,11 +90,7 @@ def _advance(state_pdf: pd.DataFrame, obs: pd.DataFrame, params: dict,
     # earlier observations as late — see engine.monitor's per-doc last_day)
     new_last = last_day.copy()
     if len(obs):
-        per_doc_max = obs.groupby("doc_id")["day"].max()
-        for doc, d in per_doc_max.items():
-            k = doc_pos.get(doc)
-            if k is not None and int(d) > new_last[k]:
-                new_last[k] = int(d)
+        np.maximum.at(new_last, doc_idx[keep], obs_day[keep])
     return state_to_pdf(kstate, state_pdf["doc_id"].to_numpy(), bucket,
                         new_last)
 

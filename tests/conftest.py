@@ -16,6 +16,11 @@ import pytest
 
 REF_DATA = Path("/root/reference/tests/unit_tests/data")
 
+# The IVF oracle generator (queries._ivf_topk_sql) trains its quantizer
+# twin from the parquet at $NRT_TEST_SF_DIR; pin it to the suite's scale
+# BEFORE any test module renders + caches the lazy oracle SQL.
+os.environ.setdefault("NRT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
 requires_reference = pytest.mark.skipif(
     not REF_DATA.exists(), reason="reference golden CSVs not available")
 

@@ -32,7 +32,8 @@ def test_pricing_summary_pushdown_and_pruning(spark):
 
 def test_star_joins_broadcast(spark):
     for name in ("region_revenue", "supplier_part_revenue"):
-        plan = plan_of(Q.queries()[name](spark, SF_DIR))
+        fn = Q.queries().get(name) or getattr(Q, name)
+        plan = plan_of(fn(spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") == 3, name
         assert "SortMergeJoin" not in plan, name
 
