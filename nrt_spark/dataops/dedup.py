@@ -35,12 +35,19 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None
-                  ) -> DataFrame:
+def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
+                  cache_raw: bool = False) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
 
     ``max_df`` drops shingles appearing in more than that many docs
     (stop-phrase control — essential before any self-join at scale).
+    The hot-shingle list is heavy-hitter-bounded (at most
+    |shingle rows| / max_df entries), so it BROADCASTS: the cap is a
+    map-side filter, not a second shuffle of the full shingle relation.
+    ``cache_raw`` persists the pre-cap relation so the hot-list count
+    and the capped output don't each recompute the explode+distinct
+    (callers with multiple downstream consumers want this; a one-pass
+    consumer like minhash does not).
     """
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
@@ -56,9 +63,11 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None
             f"ELSE array() END")).alias("shingle")
     ).distinct()
     if max_df is not None:
+        if cache_raw:
+            sh = sh.persist()
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_df).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 
@@ -71,7 +80,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     |common| / (|a| + |b| - |common|).  Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
     """
-    sh = word_shingles(docs, n=n, max_df=max_df).cache()
+    # persist the PRE-cap shingles once: the hot-list count, the size
+    # agg and both sides of the pair join all derive from one cached
+    # relation + a broadcast map-side cap filter (round-2 regression:
+    # the explode+distinct subtree was computed twice, once under the
+    # hot-list groupBy and once under the anti-join)
+    sh = word_shingles(docs, n=n, max_df=max_df, cache_raw=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

