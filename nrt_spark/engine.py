@@ -44,6 +44,57 @@ def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int"))
 
 
+def write_tokens_bucketed(tokens_df: DataFrame, path: str,
+                          num_buckets: int) -> None:
+    """Write the token table hash-partitioned on ``bucket(doc_id)`` —
+    the parquet analog of Iceberg's ``bucket(N, doc_id)`` transform.
+
+    A table written this way pays the bucket shuffle ONCE at ingest;
+    every subsequent fit/monitor pass reads it via the zero-shuffle
+    bucketed fastpath (:meth:`NrtEngine.fit_bucketed` /
+    :meth:`NrtEngine.monitor_bucketed`) because state and observations
+    align by storage layout, not by an Exchange.
+    """
+    (with_bucket(tokens_df, num_buckets)
+     .repartition(num_buckets, "bucket")
+     .write.partitionBy("bucket").mode("overwrite").parquet(path))
+
+
+def _monitor_step(state_pdf: pd.DataFrame, toks_pdf: pd.DataFrame,
+                  params: dict, update_mask: bool) -> pd.DataFrame:
+    """One bucket's monitor advance on full-series token rows — shared
+    by the cogrouped path and the storage-partitioned fastpath (must
+    stay byte-identical between them; see test_engine parity tests)."""
+    if not len(state_pdf):
+        return pd.DataFrame(columns=STATE_COLUMNS)
+    state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
+    if not len(toks_pdf):
+        return state_pdf[STATE_COLUMNS]
+    if toks_pdf["doc_id"].duplicated().any():
+        dupes = toks_pdf["doc_id"][toks_pdf["doc_id"].duplicated()]
+        raise ValueError(
+            "monitor() expects one token row per doc_id per call; "
+            f"duplicates include {sorted(set(dupes))[:3]}")
+    toks_pdf = (toks_pdf.set_index("doc_id")["tokens"]
+                .reindex(state_pdf["doc_id"]))
+    token_lists = [t if t is not None and not (isinstance(t, float))
+                   else [] for t in toks_pdf]
+    y = tokens_to_matrix(token_lists)
+    days = grid_days(y.shape[0])
+    last_day = state_pdf["last_day"].to_numpy(dtype=np.int64, na_value=0)
+    # observations at or before last_day behave exactly like NaN
+    # gaps (reference W8 semantics) -> incremental/idempotent
+    y[days[:, None] <= last_day[None, :]] = np.nan
+    state = pdf_to_state(state_pdf)
+    run_monitor(state, y, days, params, update_mask=update_mask)
+    new_last = np.maximum(
+        last_day,
+        np.array([grid_days(len(t))[-1] if len(t) else 0
+                  for t in token_lists]))
+    return state_to_pdf(state, state_pdf["doc_id"].to_numpy(),
+                        int(state_pdf["bucket"].iloc[0]), new_last)
+
+
 class NrtEngine:
     """Distributed monitor over a pre-tokenized sequence table.
 
@@ -182,41 +233,104 @@ class NrtEngine:
 
         def step_fn(state_pdf: pd.DataFrame, toks_pdf: pd.DataFrame
                     ) -> pd.DataFrame:
-            if not len(state_pdf):
-                return pd.DataFrame(columns=STATE_COLUMNS)
-            state_pdf = state_pdf.sort_values("doc_id").reset_index(drop=True)
-            if not len(toks_pdf):
-                return state_pdf[STATE_COLUMNS]
-            if toks_pdf["doc_id"].duplicated().any():
-                dupes = toks_pdf["doc_id"][toks_pdf["doc_id"].duplicated()]
-                raise ValueError(
-                    "monitor() expects one token row per doc_id per call; "
-                    f"duplicates include {sorted(set(dupes))[:3]}")
-            toks_pdf = (toks_pdf.set_index("doc_id")["tokens"]
-                        .reindex(state_pdf["doc_id"]))
-            token_lists = [t if t is not None and not (isinstance(t, float))
-                           else [] for t in toks_pdf]
-            y = tokens_to_matrix(token_lists)
-            days = grid_days(y.shape[0])
-            last_day = state_pdf["last_day"].to_numpy(dtype=np.int64,
-                                                      na_value=0)
-            # observations at or before last_day behave exactly like NaN
-            # gaps (reference W8 semantics) -> incremental/idempotent
-            y[days[:, None] <= last_day[None, :]] = np.nan
-            state = pdf_to_state(state_pdf)
-            run_monitor(state, y, days, params, update_mask=update_mask)
-            new_last = np.maximum(
-                last_day,
-                np.array([grid_days(len(t))[-1] if len(t) else 0
-                          for t in token_lists]))
-            return state_to_pdf(state, state_pdf["doc_id"].to_numpy(),
-                                int(state_pdf["bucket"].iloc[0]), new_last)
+            return _monitor_step(state_pdf, toks_pdf, params, update_mask)
 
         toks = with_bucket(tokens_df.select("doc_id", "tokens"),
                            self.num_buckets)
         state_g = state_df.groupBy("bucket")
         return state_g.cogroup(toks.groupBy("bucket")).applyInPandas(
             step_fn, STATE_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def fit_bucketed(self, tokens_path: str, history_end: str | None = None
+                     ) -> DataFrame:
+        """Zero-shuffle fit over a bucket-partitioned token table
+        (written by :func:`write_tokens_bucketed`, or any Iceberg
+        ``bucket(N, doc_id)`` layout on a shared filesystem).
+
+        The plan is ``range(B) -> mapInPandas`` — NO Exchange anywhere
+        (pinned in tests/test_plan_shapes.py): each task reads exactly
+        its bucket's parquet files and runs the same kernels as
+        :meth:`fit`, so the result is byte-identical.  This is the
+        cluster-shape the docstring at the top of this module promises:
+        pay the bucket shuffle once at ingest, never per pass.
+        """
+        params = self.params
+        he_day = _day_number(history_end)
+        needs_bands = params.get("screen_outliers") == "CCDC_RIRLS"
+        cols = ["doc_id", "tokens"] + (
+            ["green_tokens", "swir_tokens"] if needs_bands else [])
+
+        def fit_gen(batches):
+            import pyarrow.parquet as pq
+            for pdf in batches:
+                for b in pdf["id"]:
+                    part = f"{tokens_path}/bucket={int(b)}"
+                    try:
+                        toks = pq.read_table(part, columns=cols).to_pandas()
+                    except FileNotFoundError:
+                        continue
+                    if not len(toks):
+                        continue
+                    toks = toks.sort_values("doc_id").reset_index(drop=True)
+                    y = tokens_to_matrix(list(toks["tokens"]))
+                    days = grid_days(y.shape[0])
+                    green = swir = None
+                    if needs_bands:
+                        green = tokens_to_matrix(list(toks["green_tokens"]),
+                                                 max_len=y.shape[0])
+                        swir = tokens_to_matrix(list(toks["swir_tokens"]),
+                                                max_len=y.shape[0])
+                    if he_day is not None:
+                        keep = days <= he_day
+                        y, days = y[keep], days[keep]
+                        if needs_bands:
+                            green, swir = green[keep], swir[keep]
+                    state = fit_state(y, days, params, green=green,
+                                      swir=swir)
+                    last = np.full(len(toks),
+                                   int(days[-1]) if len(days) else 0)
+                    yield state_to_pdf(state, toks["doc_id"].to_numpy(),
+                                       int(b), last)
+
+        buckets = self.spark.range(0, self.num_buckets, 1,
+                                   numPartitions=self.num_buckets)
+        return buckets.mapInPandas(fit_gen, STATE_SCHEMA)
+
+    def monitor_bucketed(self, state_path: str, tokens_path: str,
+                         update_mask: bool = True) -> DataFrame:
+        """Zero-shuffle monitor: state snapshot AND token table are both
+        bucket-partitioned on the same ``pmod(xxhash64(doc_id), B)``
+        key, so obs ⋈ state aligns by storage layout — each task reads
+        ONE bucket's state + token files directly and folds the
+        sequential update.  No Exchange, no cogroup, no join in the
+        plan; on a real cluster this is the storage-partitioned join
+        Iceberg's bucket transform enables, expressed directly.
+        Byte-identical to :meth:`monitor` (shared ``_monitor_step``).
+        """
+        params = self.params
+
+        def mon_gen(batches):
+            import pyarrow.parquet as pq
+
+            from nrt_spark.streaming import _load_bucket_state
+            for pdf in batches:
+                for b in pdf["id"]:
+                    state_pdf = _load_bucket_state(state_path, int(b))
+                    if state_pdf is None or not len(state_pdf):
+                        continue
+                    try:
+                        toks = pq.read_table(
+                            f"{tokens_path}/bucket={int(b)}",
+                            columns=["doc_id", "tokens"]).to_pandas()
+                    except FileNotFoundError:
+                        toks = pd.DataFrame(columns=["doc_id", "tokens"])
+                    yield _monitor_step(state_pdf, toks, params,
+                                        update_mask)
+
+        buckets = self.spark.range(0, self.num_buckets, 1,
+                                   numPartitions=self.num_buckets)
+        return buckets.mapInPandas(mon_gen, STATE_SCHEMA)
 
     # ------------------------------------------------------------------
     def monitor_obs(self, state_df: DataFrame, obs_df: DataFrame,

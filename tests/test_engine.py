@@ -263,3 +263,51 @@ def test_auto_buckets(spark, tokens):
     assert b == 2 * spark.sparkContext.defaultParallelism
     eng = NrtEngine(spark, "ewma", num_buckets=b, trend=False)
     assert eng.fit(tokens, history_end=HISTORY_END).count() == N_DOCS
+
+
+def test_bucketed_fastpath_parity(spark, tokens, tmp_path):
+    """The storage-partitioned (zero-shuffle) fit/monitor must be
+    byte-identical to the cogrouped path: same buckets, same kernels,
+    alignment by layout instead of Exchange."""
+    from nrt_spark.engine import write_tokens_bucketed
+
+    path = str(tmp_path / "tokens_bucketed")
+    write_tokens_bucketed(tokens, path, num_buckets=8)
+
+    eng = NrtEngine(spark, "cusum", num_buckets=8, trend=False,
+                    method="OLS")
+    shuffled = eng.fit(tokens, history_end=HISTORY_END)
+    bucketed = eng.fit_bucketed(path, history_end=HISTORY_END)
+    a = shuffled.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = bucketed.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for col in a.columns:
+        if col in ("beta", "window"):
+            for x, yv in zip(a[col], b[col]):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
+        else:
+            pd.testing.assert_series_equal(a[col], b[col],
+                                           check_names=False)
+
+    state_path = str(tmp_path / "state")
+    eng.save_state(bucketed, state_path)
+    mon_shuffled = eng.monitor(shuffled, tokens)
+    mon_bucketed = eng.monitor_bucketed(state_path, path)
+    a = mon_shuffled.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = mon_bucketed.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ["doc_id", "mask", "process", "boundary", "n",
+                "detection_date", "last_day"]:
+        np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy(),
+                                      err_msg=col)
+
+
+def test_bucketed_fastpath_missing_bucket(spark, tmp_path):
+    """Buckets with no documents (empty hash cells) are skipped, not
+    fabricated — a 3-doc table over 8 buckets leaves most cells empty."""
+    from nrt_spark.engine import write_tokens_bucketed
+
+    toks = generate_tokens(spark, 3, n_obs=50)
+    path = str(tmp_path / "tok3")
+    write_tokens_bucketed(toks, path, num_buckets=8)
+    eng = NrtEngine(spark, "ewma", num_buckets=8, trend=False)
+    state = eng.fit_bucketed(path, history_end=HISTORY_END)
+    assert state.count() == 3

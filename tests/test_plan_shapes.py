@@ -90,3 +90,24 @@ def test_monitor_cogroup_single_shuffle_per_side(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert plan.count("Exchange") <= 3   # state side, obs side (+AQE reuse)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bucketed_monitor_has_no_exchange(spark, tmp_path):
+    """The storage-partitioned monitor loop: state and tokens align by
+    bucket(doc_id) layout, so the whole fit -> monitor pass plans as
+    range(B) -> mapInPandas — zero Exchange, zero join, the shape a
+    10^12-series Iceberg bucket(doc_id) table gets on a real cluster."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine, write_tokens_bucketed
+
+    toks = generate_tokens(spark, 30, n_obs=40)
+    path = str(tmp_path / "tb")
+    write_tokens_bucketed(toks, path, num_buckets=4)
+    eng = NrtEngine(spark, "ewma", num_buckets=4, trend=False)
+    fit_plan = plan_of(eng.fit_bucketed(path, history_end="2016-05-10"))
+    assert "Exchange" not in fit_plan
+    state = eng.fit_bucketed(path, history_end="2016-05-10")
+    eng.save_state(state, str(tmp_path / "st"))
+    mon_plan = plan_of(eng.monitor_bucketed(str(tmp_path / "st"), path))
+    assert "Exchange" not in mon_plan
+    assert "Join" not in mon_plan
