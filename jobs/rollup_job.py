@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     ap.add_argument("--compact-target-mb", type=int, default=0,
                     help="when > 0, add a small-file compaction step "
                          "over the block partitions")
+    ap.add_argument("--bucketed-layout", action="store_true",
+                    help="write the token table bucket-partitioned on "
+                         "doc_id as an explicit (resumable) ingest step, "
+                         "then run the ZERO-SHUFFLE fit/monitor fastpath "
+                         "over it — the Iceberg bucket(N, doc_id) shape")
     args = ap.parse_args(argv)
 
     if args.make_pyfiles:
@@ -101,11 +106,32 @@ def main(argv=None) -> int:
                        if args.monitor in ("cusum", "mosum") else {}))
     job = ResumableJob(spark, args.job_id, f"{out}/metrics")
 
-    def fit_and_monitor():
-        state = eng.fit(tokens, history_end=args.history_end)
-        state = eng.monitor(state, tokens)
-        eng.save_state(state, f"{out}/state")
-        return eng.load_state(f"{out}/state")
+    if args.bucketed_layout:
+        from nrt_spark.engine import write_tokens_bucketed
+
+        def ingest_bucketed():
+            # the ONLY shuffle of the monitoring loop: paid once at
+            # ingest; every fit/monitor pass after it is Exchange-free
+            write_tokens_bucketed(tokens, f"{out}/tokens_bucketed",
+                                  args.num_buckets)
+            return None
+
+        ran_ingest = job.step("ingest_bucketed", ingest_bucketed)
+
+        def fit_and_monitor():
+            state = eng.fit_bucketed(f"{out}/tokens_bucketed",
+                                     history_end=args.history_end)
+            eng.save_state(state, f"{out}/state_fit")
+            state = eng.monitor_bucketed(f"{out}/state_fit",
+                                         f"{out}/tokens_bucketed")
+            eng.save_state(state, f"{out}/state")
+            return eng.load_state(f"{out}/state")
+    else:
+        def fit_and_monitor():
+            state = eng.fit(tokens, history_end=args.history_end)
+            state = eng.monitor(state, tokens)
+            eng.save_state(state, f"{out}/state")
+            return eng.load_state(f"{out}/state")
 
     def rollup_blocks():
         blocks = rollup_compress_tokens(tokens)
@@ -138,7 +164,9 @@ def main(argv=None) -> int:
     print(json.dumps({
         "job_id": args.job_id,
         "rows_in": n_tokens_rows,
-        "steps_executed": {"fit_monitor": ran_monitor,
+        "steps_executed": {**({"ingest_bucketed": ran_ingest}
+                              if args.bucketed_layout else {}),
+                           "fit_monitor": ran_monitor,
                            "rollup_blocks": ran_rollup,
                            **({"compact_blocks": ran_compact}
                               if ran_compact is not None else {})},
