@@ -286,3 +286,30 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     pv = probe / np.linalg.norm(probe)
     probe_cells = np.argsort(-(C @ pv))[:nprobe].tolist()
     return C, [float(x) for x in probe], [int(c) for c in probe_cells]
+
+
+def day_tier_oracle(n_docs: int = 60, n_obs: int = 60) -> pd.DataFrame:
+    """Expected BATCH day-tier rows (doc_id, bucket_start, n, mean,
+    vmin, vmax) — at the 5-day cadence each day bucket holds exactly one
+    observation, so every aggregate equals the decoded value (or the
+    n=0 / NULL gap row); round(x, 6) is the identity on 4-decimal token
+    values.  The materialized-rows twin of rollup_checksum_oracle: the
+    checksum certifies ALL tiers at 300 docs, this certifies the day
+    tier row-for-row at a size a VALUES oracle can carry."""
+    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
+                                  SCALE)
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    rows = []
+    for doc, tok in zip(toks["doc_id"], toks["tokens"]):
+        t = np.asarray(tok, dtype=np.int64)
+        for i, v in enumerate(t):
+            day = EPOCH_DAY + CADENCE_DAYS * i
+            ts = str(np.datetime64(int(day), "D")) + " 00:00:00"
+            if v == GAP_TOKEN:
+                rows.append((doc, ts, 0, None, None, None))
+            else:
+                val = float(v) / SCALE
+                rows.append((doc, ts, 1, val, val, val))
+    return pd.DataFrame(rows, columns=["doc_id", "bucket_start", "n",
+                                       "mean", "vmin", "vmax"])

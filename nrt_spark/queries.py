@@ -1580,14 +1580,35 @@ def nrt_incremental_report(spark, sf_dir):
     return _report_shape(NrtEngine.report(state))
 
 
-@q("nrt_rollup_day_tier", None)
+def _day_tier_sql() -> str:
+    from nrt_spark.oracle import day_tier_oracle
+
+    pdf = day_tier_oracle(n_docs=60, n_obs=60)
+
+    def num(x):
+        return "NULL" if x is None else f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    rows = ",\n".join(
+        f"('{d}', TIMESTAMP '{ts}', {int(n)}, {num(m)}, {num(lo)}, {num(hi)})"
+        for d, ts, n, m, lo, hi in pdf.itertuples(index=False))
+    return ("SELECT doc_id, bucket_start, CAST(n AS BIGINT) AS n, "
+            "CAST(mean AS DOUBLE) AS mean, CAST(vmin AS DOUBLE) AS vmin, "
+            "CAST(vmax AS DOUBLE) AS vmax FROM (VALUES\n" + rows
+            + "\n) t(doc_id, bucket_start, n, mean, vmin, vmax)")
+
+
+@q("nrt_rollup_day_tier", lambda: _day_tier_sql())
 def nrt_rollup_day_tier(spark, sf_dir):
-    """Day-tier continuous aggregate over the token table."""
+    """Day-tier continuous aggregate over the token table, certified
+    ROW-FOR-ROW against the numpy twin (day_tier_oracle: at the 5-day
+    cadence every day bucket is fully determined).  The 300-doc
+    ALL-tiers certification is nrt_rollup_checksum; this entry carries
+    the materialized rows at a size a VALUES oracle can ship."""
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.tokens import decode_long
     from nrt_spark.rollup import rollup_raw
 
-    toks = generate_tokens(spark, 300, n_obs=130)
+    toks = generate_tokens(spark, 60, n_obs=60)
     day = rollup_raw(decode_long(toks), "day")
     return day.select("doc_id", "bucket_start", "n",
                       F.round("mean", 6).alias("mean"),
