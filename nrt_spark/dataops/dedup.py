@@ -202,26 +202,29 @@ def connected_components(edges: DataFrame, src: str = "src",
                            "b")
                   .groupBy(F.col("a").alias("node"))
                   .agg(F.min("nc").alias("nb_min")))
-        new = (labels.join(nb_min, "node", "left")
-               .select("node",
-                       F.least("component",
-                               F.coalesce("nb_min", "component"))
-                       .alias("component")))
+        # carry the pre-round label through so convergence detection is
+        # a plain filter on the checkpointed result, not an extra
+        # self-join + shuffle per round
+        stepped = (labels.join(nb_min, "node", "left")
+                   .select("node",
+                           F.col("component").alias("old_component"),
+                           F.least("component",
+                                   F.coalesce("nb_min", "component"))
+                           .alias("component")))
         # pointer doubling: follow the label's own label so chains halve
         # every round instead of shrinking by one hop
-        parent = new.select(F.col("node").alias("pnode"),
-                            F.col("component").alias("parent"))
-        new = (new.join(parent, new.component == parent.pnode, "left")
-               .select("node",
+        parent = stepped.select(F.col("node").alias("pnode"),
+                                F.col("component").alias("parent"))
+        new = (stepped.join(parent, stepped.component == parent.pnode,
+                            "left")
+               .select("node", "old_component",
                        F.least("component",
                                F.coalesce("parent", "component"))
                        .alias("component"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") < F.col("o.component"))
+        changed = (new.filter(F.col("component") < F.col("old_component"))
                    .limit(1).count())
-        labels = new
+        labels = new.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
