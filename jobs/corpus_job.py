@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Training-corpus export job: spark-submit --py-files nrt_spark.zip
+jobs/corpus_job.py --input <documents parquet> --output <root>
+
+documents -> exact dedup -> near-dup dedup (MinHash/LSH + connected
+components) -> decontamination vs the held-out split -> quality filter
+-> tokenize -> fixed-length packed shards, with per-stage lineage so a
+crashed run resumes at the completed stage (same --job-id skips done
+steps).  Prints one JSON summary line: the per-stage doc funnel plus
+pack/shard/token totals.
+
+Every stage decision is hash-derived and deterministic, so re-runs and
+reshards reproduce the same corpus bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents parquet "
+                    "(doc_id, text, source); default: driver testdata")
+    ap.add_argument("--output", default="/tmp/nrt_corpus")
+    ap.add_argument("--job-id", default="corpus0")
+    ap.add_argument("--min-quality", type=float, default=0.7)
+    ap.add_argument("--max-df", type=int, default=50)
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--num-shards", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.appName("nrt_corpus_job")
+             .config("spark.driver.memory",
+                     os.environ.get("NRT_JOB_DRIVER_MEM", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    from nrt_spark.dataops import corpus as C
+    from nrt_spark.lineage import ResumableJob
+    from nrt_spark.tokens import pack_sequences
+
+    inp = args.input or "/root/testdata/sf0.01/documents.parquet"
+    out = args.output
+    t0 = time.time()
+    docs = spark.read.parquet(inp)
+    n_in = docs.count()
+    job = ResumableJob(spark, args.job_id, f"{out}/metrics")
+
+    def stage(name, fn):
+        """Materialize one funnel stage to parquet; resume skips it."""
+        def run():
+            fn().write.mode("overwrite").parquet(f"{out}/{name}")
+            return None
+        ran = job.step(name, run)
+        return ran, spark.read.parquet(f"{out}/{name}")
+
+    _, kept = stage("exact_dedup", lambda: C.exact_keep(docs))
+    _, kept2 = stage("neardup_dedup",
+                     lambda: C.neardup_keep(kept, max_df=args.max_df))
+
+    def decontam():
+        split = kept2.withColumn("split", C.split_col())
+        train = split.filter("split = 'train'").drop("split")
+        ev = split.filter("split = 'val'").drop("split")
+        return C.decontaminate(train, ev)
+
+    _, clean = stage("decontaminated", decontam)
+    _, good = stage("quality_filtered",
+                    lambda: C.quality_filter(clean,
+                                             min_quality=args.min_quality))
+
+    def packed():
+        return pack_sequences(C.tokenize(good), seq_len=args.seq_len,
+                              num_shards=args.num_shards) \
+            .repartition(args.num_shards, "shard")
+
+    def write_packed():
+        packed().write.mode("overwrite").partitionBy("shard") \
+            .parquet(f"{out}/shards")
+        return None
+
+    job.step("pack_shards", write_packed)
+
+    shards = spark.read.parquet(f"{out}/shards")
+    stats = shards.agg(
+        F.count("*").alias("packs"),
+        F.countDistinct("shard").alias("shards"),
+        F.sum("n_real").cast("long").alias("real_tokens")).collect()[0]
+    funnel = {
+        "input": n_in,
+        "exact_dedup": kept.count(),
+        "neardup_dedup": kept2.count(),
+        "decontaminated": clean.count(),
+        "quality_filtered": good.count(),
+    }
+    print(json.dumps({
+        "job_id": args.job_id,
+        "funnel": funnel,
+        "packs": int(stats["packs"]),
+        "shards": int(stats["shards"]),
+        "real_tokens": int(stats["real_tokens"]),
+        "seq_len": args.seq_len,
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

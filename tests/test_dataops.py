@@ -231,3 +231,47 @@ def test_approx_distinct_within_error_bound(spark):
     for r in rows:
         assert abs(r["approx_u"] - r["exact_u"]) <= max(3, 0.15 * r["exact_u"])
         assert abs(r["approx_e"] - r["exact_e"]) <= max(3, 0.05 * r["exact_e"])
+
+
+def test_corpus_pipeline_deterministic_funnel(spark):
+    """End-to-end corpus build: monotone funnel, all stage decisions
+    hash-derived -> identical results on a different partitioning."""
+    from nrt_spark.dataops.corpus import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed, stages = build_corpus(docs, num_shards=4, seq_len=128)
+    counts = {k: df.count() for k, df in stages.items()}
+    n_in = docs.count()
+    assert (n_in >= counts["exact_dedup"] >= counts["neardup_dedup"]
+            >= counts["decontaminated"] >= counts["quality_filtered"])
+
+    # repartition the input: every count and the packed checksum is
+    # unchanged (the 10^12-doc reproducibility contract)
+    docs2 = docs.repartition(7)
+    packed2, stages2 = build_corpus(docs2, num_shards=4, seq_len=128)
+    assert {k: df.count() for k, df in stages2.items()} == counts
+
+    import pyspark.sql.functions as F
+
+    def pack_checksum(df):
+        row = (df.select(F.sum(F.col("pack_idx") * 131
+                               + F.aggregate("tokens", F.lit(0),
+                                             lambda a, t: a + t))
+                         .alias("ck"),
+                         F.count("*").alias("n")).collect()[0])
+        return (int(row["ck"]), int(row["n"]))
+
+    assert pack_checksum(packed) == pack_checksum(packed2)
+
+
+def test_corpus_tokenize_matches_oracle_counts(spark):
+    """The Catalyst tokenizer agrees with the token-count query's
+    whitespace semantics: n_tok == n_words per doc."""
+    from nrt_spark.dataops.corpus import tokenize
+    from nrt_spark.dataops.textstats import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = tokenize(docs).select("doc_id", "n_tok")
+    w = token_counts(docs).select("doc_id", "n_words")
+    joined = t.join(w, "doc_id")
+    assert joined.filter("n_tok != n_words").count() == 0
