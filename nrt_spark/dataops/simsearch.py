@@ -212,20 +212,53 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
             .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
 
 
+def lsh_probe_buckets(probe: list[float], n_planes: int, n_tables: int,
+                      seed: str = "nrt") -> list[int]:
+    """The probe's bucket id in each of ``n_tables`` plane sets (table t
+    uses seed ``"{seed}-{t}"``) — pure numpy, reproducible anywhere."""
+    pv = np.asarray(probe, dtype=np.float64)
+    out = []
+    for t in range(n_tables):
+        planes = hyperplanes(len(probe), n_planes, f"{seed}-{t}")
+        bucket = 0
+        for p in range(n_planes):
+            if float(planes[p] @ pv) >= 0:
+                bucket |= 1 << p
+        out.append(bucket)
+    return out
+
+
 def lsh_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
              n_planes: int = 8, seed: str = "nrt",
-             vec_col: str = "embedding", id_col: str = "vec_id"
-             ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking *within* the probe's LSH
-    bucket only.  Recall vs :func:`cosine_topk` depends on n_planes; at
-    scale the bucket is a partition key and this is a pruned scan."""
-    assigned = lsh_assign(embeddings, n_planes, seed, vec_col, id_col)
-    planes = hyperplanes(len(probe), n_planes, seed)
-    probe_bucket = 0
-    pv = np.asarray(probe, dtype=np.float64)
-    for p in range(n_planes):
-        if float(planes[p] @ pv) >= 0:
-            probe_bucket |= 1 << p
-    return cosine_topk(
-        assigned.filter(F.col("bucket") == probe_bucket), probe, k,
-        vec_col, id_col)
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the probe's LSH
+    bucket(s).  With ``n_tables`` > 1 the candidate set is OR-amplified
+    across independent plane sets — recall 1-(1-p^b)^T instead of p^b
+    (a single 6-bit bucket recalls only ~0.2 of the true top-10 on
+    uniform vectors; 8 tables lift it to ~0.6-0.8 while still scanning
+    ~T/2^b of the table).  At scale each table's bucket is a partition
+    key, so this stays a pruned scan — T lookups instead of 1."""
+    if n_tables <= 1:
+        assigned = lsh_assign(embeddings, n_planes, seed, vec_col, id_col)
+        planes = hyperplanes(len(probe), n_planes, seed)
+        probe_bucket = 0
+        pv = np.asarray(probe, dtype=np.float64)
+        for p in range(n_planes):
+            if float(planes[p] @ pv) >= 0:
+                probe_bucket |= 1 << p
+        return cosine_topk(
+            assigned.filter(F.col("bucket") == probe_bucket), probe, k,
+            vec_col, id_col)
+    assigned = lsh_multi_assign(embeddings, n_planes, n_tables, seed,
+                                vec_col, id_col)
+    pbs = lsh_probe_buckets(probe, n_planes, n_tables, seed)
+    # candidate: collides with the probe in ANY table; bucket-per-table
+    # literal lookup keeps the filter a single array index comparison
+    pb_arr = F.array(*[F.lit(int(b)) for b in pbs])
+    cand = (assigned
+            .filter(F.col("bucket")
+                    == F.element_at(pb_arr, F.col("table_idx") + 1))
+            .select(id_col).distinct())
+    pruned = embeddings.join(cand, id_col, "left_semi")
+    return cosine_topk(pruned, probe, k, vec_col, id_col)

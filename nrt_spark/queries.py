@@ -1759,47 +1759,65 @@ def nrt_gorilla_stats(spark, sf_dir):
               "bytes_per_point double, roundtrip_mismatches long")
 
 
-def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, k: int = 10,
-                  seed: str = "nrt") -> str:
-    """Oracle for the bucketed ANN query: the hyperplanes are
-    deterministic literals and the probe row comes from the table, so
-    the whole bucket-pruned search is SQL-expressible — bucket of every
-    vector AND of the probe from the same inlined planes, exact cosine
-    ranking within the probe's bucket."""
-    planes = SS.hyperplanes(dim, n_planes, seed)
-    def bucket_expr(vcol):
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
+                  k: int = 10, seed: str = "nrt") -> str:
+    """Oracle for the multi-table bucketed ANN query: the hyperplanes of
+    every table are deterministic literals, so the whole OR-amplified
+    bucket-pruned search is SQL-expressible — a vector is a candidate
+    when its bucket under table t's inlined planes equals the probe's
+    (numpy-computed literal) bucket for ANY t; exact cosine ranking over
+    the candidates.  The probe is read from the table, so its bucket
+    literals are a pure function of the same parquet both engines scan."""
+    import os
+
+    import duckdb
+
+    def bucket_expr(vcol, planes):
         bits = []
         for p in range(n_planes):
             lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
             bits.append(f"(CASE WHEN list_dot_product({vcol}, "
                         f"{lit}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)")
-        return "\n      + ".join(bits)
+        return "(" + "\n      + ".join(bits) + ")"
+
+    sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    probe = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id = 0").fetchone()[0]
+    pbs = SS.lsh_probe_buckets([float(x) for x in probe], n_planes,
+                               n_tables, seed)
+    any_table = "\n   OR ".join(
+        f"{bucket_expr('v', SS.hyperplanes(dim, n_planes, f'{seed}-{t}'))}"
+        f" = {int(pbs[t])}"
+        for t in range(n_tables))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
-assigned AS (
-  SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e
-),
-pb AS (SELECT {bucket_expr('p')} AS bucket FROM probe)
-SELECT a.vec_id,
-       round(list_dot_product(a.v, probe.p)
-             / (sqrt(list_dot_product(a.v, a.v))
+cand AS (
+  SELECT vec_id, v FROM e
+  WHERE {any_table}
+)
+SELECT c.vec_id,
+       round(list_dot_product(c.v, probe.p)
+             / (sqrt(list_dot_product(c.v, c.v))
                 * sqrt(list_dot_product(probe.p, probe.p))), 6) AS cosine
-FROM assigned a, probe, pb
-WHERE a.bucket = pb.bucket
-ORDER BY cosine DESC, a.vec_id LIMIT {k}
+FROM cand c, probe
+ORDER BY cosine DESC, c.vec_id LIMIT {k}
 """
 
 
 @q("lsh_topk_embeddings", lambda: _lsh_topk_sql())
 def lsh_topk_embeddings(spark, sf_dir):
-    """Bucketed ANN variant of cosine_topk (deterministic hyperplanes,
-    probe-bucket-pruned scan) — oracle-checked end to end: the SQL
-    reproduces bucket assignment from the same plane literals."""
+    """Multi-table bucketed ANN variant of cosine_topk (8 independent
+    6-plane tables, OR-amplified: single-bucket recall ~0.2 of the true
+    top-10 on uniform vectors, multi-table ~0.6-0.8 while scanning
+    ~T/2^b of the table) — oracle-checked end to end: the SQL
+    reproduces every table's bucket assignment from the same plane
+    literals and the probe's numpy-computed bucket ids."""
     emb = _t(spark, sf_dir, "embeddings")
     probe = [float(x) for x in
              emb.filter("vec_id = 0").select("embedding").first()[0]]
-    return SS.lsh_topk(emb, probe, k=10, n_planes=6)
+    return SS.lsh_topk(emb, probe, k=10, n_planes=6, n_tables=8)
 
 
 def _ivf_topk_sql(n_cells: int = 16, iters: int = 8, k: int = 10,
@@ -2084,6 +2102,10 @@ UNION ALL
 SELECT 'approx_events_ok' AS part, event_type AS k1, {_NS} AS k2, 1.0 AS v,
        count(DISTINCT event_id) AS n
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'approx_p50_ok' AS part, event_type AS k1, {_NS} AS k2, 1.0 AS v,
+       count(*) AS n
+FROM events GROUP BY event_type
 """)
 def agg_variants(spark, sf_dir):
     """A11 aggregation variants: ROLLUP grouping sets, exact distinct,
@@ -2099,7 +2121,14 @@ def agg_variants(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("au"),
         F.approx_count_distinct("event_id", 0.01).alias("ae"),
         F.countDistinct("user_id").alias("eu"),
-        F.countDistinct("event_id").alias("ee"))
+        F.countDistinct("event_id").alias("ee"),
+        # GK percentile sketch certified by RANK bounds: with accuracy
+        # 10000 the guaranteed rank error is 0.01%, so the sketch's p50
+        # must land between the exact p45 and p55 values
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.count("*").alias("nrows"))
 
     def ok(approx, exact, tol):
         return (F.abs(F.col(approx) - F.col(exact))
@@ -2131,6 +2160,13 @@ def agg_variants(spark, sf_dir):
                             _null("string").alias("k2"),
                             ok("ae", "ee", 0.05).alias("v"),
                             F.col("ee").alias("n")))
+        .unionAll(ap.select(F.lit("approx_p50_ok").alias("part"),
+                            F.col("event_type").alias("k1"),
+                            _null("string").alias("k2"),
+                            ((F.col("p50a") >= F.col("p45"))
+                             & (F.col("p50a") <= F.col("p55")))
+                            .cast("double").alias("v"),
+                            F.col("nrows").alias("n")))
     )
 
 

@@ -275,3 +275,37 @@ def test_corpus_tokenize_matches_oracle_counts(spark):
     w = token_counts(docs).select("doc_id", "n_words")
     joined = t.join(w, "doc_id")
     assert joined.filter("n_tok != n_words").count() == 0
+
+
+def test_ann_recall_on_planted_neighbors(spark):
+    """ANN quality contract: on vectors with real near-neighbor
+    structure (cosine ~0.95+, what dedup/retrieval actually hunts),
+    both scale paths recall every planted neighbor.  The driver-table
+    embeddings are near-orthogonal (top-10 cosine ~0.25) — the
+    adversarial case where pruning and recall trade off by theory
+    (recall = 1-(1-p^b)^T, p = 1 - theta/pi), so recall is asserted
+    here on planted structure, not there."""
+    import numpy as np
+    from nrt_spark.dataops.simsearch import ivf_train, ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(200, 64))
+    probe = base[0] / np.linalg.norm(base[0])
+    planted = {}
+    for i in range(5):                       # cosine ~0.97 neighbors
+        v = probe + 0.25 * rng.normal(size=64) / np.sqrt(64)
+        base[100 + i] = v * 3.0
+        planted[100 + i] = True
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    p = [float(x) for x in probe]
+
+    lsh_ids = {r["vec_id"]
+               for r in lsh_topk(emb, p, k=6, n_planes=6,
+                                 n_tables=8).collect()}
+    assert set(planted) <= lsh_ids, f"LSH missed {set(planted) - lsh_ids}"
+
+    C = ivf_train(emb, n_cells=8, iters=5)
+    ivf_ids = {r["vec_id"]
+               for r in ivf_topk(emb, p, C, k=6, nprobe=3).collect()}
+    assert set(planted) <= ivf_ids, f"IVF missed {set(planted) - ivf_ids}"
