@@ -41,14 +41,20 @@ ROLLUP_COLS = ["doc_id", "bucket_start", "n", "vsum", "mean", "vmin",
                "vmax", "last"]
 
 
-def rollup_raw(long_df: DataFrame, tier: str = "day") -> DataFrame:
+def rollup_raw(long_df: DataFrame, tier: str = "day",
+               with_last_ts: bool = False) -> DataFrame:
     """Aggregate the decoded long series into a tier's tumbling buckets.
 
     Output: (doc_id, bucket_start, n, vsum, mean, vmin, vmax, last);
     gap (NULL) observations count toward nothing (n counts non-null).
+    ``with_last_ts`` appends the timestamp behind ``last`` — required
+    for tiers that will be incrementally maintained (:func:`upsert_tier`
+    merges ``last`` exactly by comparing the carried timestamps, so
+    arrival order never decides).
     """
     unit, _ = TIERS[tier]
-    return (
+    valid_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+    out = (
         long_df
         .groupBy("doc_id", F.date_trunc(unit, "ts").alias("bucket_start"))
         .agg(
@@ -56,12 +62,13 @@ def rollup_raw(long_df: DataFrame, tier: str = "day") -> DataFrame:
             F.sum("value").alias("vsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts")))
-            .alias("last"),
+            F.max_by("value", valid_ts).alias("last"),
+            F.max(valid_ts).alias("last_ts"),
         )
         .withColumn("mean", F.col("vsum") / F.col("n"))
-        .select(*ROLLUP_COLS)
     )
+    cols = ROLLUP_COLS + (["last_ts"] if with_last_ts else [])
+    return out.select(*cols)
 
 
 def rollup_cascade(day_df: DataFrame, tier: str) -> DataFrame:
@@ -138,6 +145,89 @@ def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
     (df.withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
        .write.mode("overwrite").partitionBy("period")
        .parquet(f"{base_path}/tier={tier}"))
+
+
+def upsert_tier(spark, base_path: str, tier: str,
+                delta_long: DataFrame) -> dict:
+    """Incrementally fold late/new observations into a written tier —
+    the continuous-aggregate maintenance step: no raw re-scan, no full
+    rewrite.
+
+    The tier must have been written ``with_last_ts`` (the timestamp
+    behind ``last``): every aggregate then merges EXACTLY regardless of
+    arrival order — n and vsum add, vmin/vmax fold, ``last`` is decided
+    by the carried timestamps, never by which batch came first.  vsum
+    adds already-folded subtotals, so like :func:`rollup_cascade` it can
+    differ from a flat re-fold by ~1 ulp (documented trade of the
+    incremental path).
+
+    Scale shape: the delta's calendar periods select the affected
+    partitions; only THOSE are read, merged (one shuffle on
+    (doc_id, bucket_start)) and rewritten via dynamic partition
+    overwrite — cost ∝ touched periods, not table size.  On Iceberg
+    this is MERGE INTO with partition predicates.
+
+    Returns {"periods": [...], "buckets_before": n, "buckets_after": m}.
+    """
+    delta = rollup_raw(delta_long, tier, with_last_ts=True) \
+        .withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
+    periods = sorted(r["period"] for r in
+                     delta.select("period").distinct().collect())
+    if not periods:
+        return {"periods": [], "buckets_before": 0, "buckets_after": 0}
+    tier_path = f"{base_path}/tier={tier}"
+    existing = (spark.read.option("basePath", tier_path).parquet(tier_path)
+                .filter(F.col("period").isin(periods)))
+    if "last_ts" not in existing.columns:
+        raise ValueError(
+            "upsert_tier requires a tier written with_last_ts=True; "
+            "rewrite the tier with rollup_raw(..., with_last_ts=True)")
+    buckets_before = existing.count()
+    e = existing.select(
+        "doc_id", "bucket_start",
+        *[F.col(c).alias(f"e_{c}") for c in
+          ("n", "vsum", "vmin", "vmax", "last", "last_ts")])
+    d = delta.select(
+        "doc_id", "bucket_start",
+        *[F.col(c).alias(f"d_{c}") for c in
+          ("n", "vsum", "vmin", "vmax", "last", "last_ts")])
+    j = e.join(d, ["doc_id", "bucket_start"], "full_outer")
+
+    def both(fn, c):
+        return fn(F.col(f"e_{c}"), F.col(f"d_{c}"))
+
+    delta_wins = (F.col("e_last_ts").isNull()
+                  | (F.col("d_last_ts") > F.col("e_last_ts")))
+    merged = j.select(
+        "doc_id", "bucket_start",
+        (F.coalesce("e_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .alias("n"),
+        # all-gap buckets keep a NULL vsum (not 0.0) to match rollup_raw
+        F.when(F.coalesce("e_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)) > 0,
+               F.coalesce("e_vsum", F.lit(0.0))
+               + F.coalesce("d_vsum", F.lit(0.0))).alias("vsum"),
+        both(F.least, "vmin").alias("vmin"),
+        both(F.greatest, "vmax").alias("vmax"),
+        F.when(F.col("d_last_ts").isNotNull() & delta_wins,
+               F.col("d_last")).otherwise(F.col("e_last")).alias("last"),
+        both(F.greatest, "last_ts").alias("last_ts"),
+    ).withColumn("mean", F.when(F.col("n") > 0,
+                                F.col("vsum") / F.col("n"))) \
+     .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
+     .select(*ROLLUP_COLS, "last_ts", "period")
+    buckets_after = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode replaces ONLY the period partitions present in
+        # the merged frame — untouched months keep their files
+        merged.write.mode("overwrite").partitionBy("period") \
+            .parquet(tier_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"periods": periods, "buckets_before": buckets_before,
+            "buckets_after": buckets_after}
 
 
 def compact_partition(spark, path: str, target_mb: int = 128) -> dict:

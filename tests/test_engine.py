@@ -311,3 +311,24 @@ def test_bucketed_fastpath_missing_bucket(spark, tmp_path):
     eng = NrtEngine(spark, "ewma", num_buckets=8, trend=False)
     state = eng.fit_bucketed(path, history_end=HISTORY_END)
     assert state.count() == 3
+
+
+def test_bucketed_monitor_idempotent(spark, tokens, tmp_path):
+    """Re-running monitor_bucketed over the same token table is a no-op:
+    every observation sits at or behind last_day, so state is unchanged
+    (the crash-rerun semantics the resumable job relies on)."""
+    from nrt_spark.engine import write_tokens_bucketed
+
+    path = str(tmp_path / "tok")
+    write_tokens_bucketed(tokens, path, num_buckets=8)
+    eng = NrtEngine(spark, "ewma", num_buckets=8, trend=False)
+    st = eng.fit_bucketed(path, history_end=HISTORY_END)
+    eng.save_state(st, str(tmp_path / "s0"))
+    once = eng.monitor_bucketed(str(tmp_path / "s0"), path)
+    eng.save_state(once, str(tmp_path / "s1"))
+    twice = eng.monitor_bucketed(str(tmp_path / "s1"), path)
+    a = once.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = twice.toPandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ["mask", "process", "detection_date", "last_day", "n"]:
+        np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy(),
+                                      err_msg=col)

@@ -271,3 +271,56 @@ def test_compaction_crash_recovery(spark, long_df, tmp_path):
         compact_partition(spark, str(part), target_mb=0)
     with _pytest.raises(ValueError, match="object stores"):
         compact_partition(spark, "hdfs://nn/x", target_mb=64)
+
+
+def test_upsert_tier_matches_full_recompute(spark, long_df, tmp_path):
+    """Incremental maintenance contract: init the tier from the first
+    90% of observations, upsert the late 10%, and land exactly where a
+    full recompute lands (n/vmin/vmax/last exact; vsum/mean to float
+    merge tolerance) — and only the touched periods are rewritten."""
+    from pyspark.sql import functions as F
+    from nrt_spark.rollup import rollup_raw, upsert_tier, write_tier
+
+    split_ts = long_df.selectExpr(
+        "percentile(unix_seconds(ts), 0.9) AS c").first()["c"]
+    early = long_df.filter(F.unix_seconds("ts") <= split_ts)
+    late = long_df.filter(F.unix_seconds("ts") > split_ts)
+    assert late.count() > 0
+
+    write_tier(rollup_raw(early, "day", with_last_ts=True),
+               str(tmp_path), "day")
+    all_periods = {p.name for p in (tmp_path / "tier=day").glob("period=*")}
+    import os
+    mtimes = {p: os.path.getmtime(str(tmp_path / "tier=day" / p))
+              for p in all_periods}
+
+    stats = upsert_tier(spark, str(tmp_path), "day", late)
+    assert stats["buckets_after"] >= stats["buckets_before"]
+
+    got = (spark.read.parquet(str(tmp_path / "tier=day"))
+           .drop("period", "last_ts")
+           .toPandas().sort_values(["doc_id", "bucket_start"])
+           .reset_index(drop=True))
+    want = (rollup_raw(long_df, "day")
+            .toPandas().sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    # untouched periods were not rewritten (dynamic partition overwrite)
+    touched = set(f"period={p}" for p in stats["periods"])
+    for p in all_periods - touched:
+        assert os.path.getmtime(str(tmp_path / "tier=day" / p)) \
+            == mtimes[p], f"{p} rewritten"
+
+
+def test_upsert_tier_requires_last_ts(spark, long_df, tmp_path):
+    from nrt_spark.rollup import rollup_raw, upsert_tier, write_tier
+
+    write_tier(rollup_raw(long_df, "day"), str(tmp_path), "day")
+    with pytest.raises(ValueError, match="with_last_ts"):
+        upsert_tier(spark, str(tmp_path), "day", long_df.limit(10))
