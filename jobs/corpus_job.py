@@ -56,37 +56,29 @@ def main(argv=None) -> int:
     n_in = docs.count()
     job = ResumableJob(spark, args.job_id, f"{out}/metrics")
 
-    def stage(name, fn):
-        """Materialize one funnel stage to parquet; resume skips it."""
-        def run():
-            fn().write.mode("overwrite").parquet(f"{out}/{name}")
+    # the funnel is defined ONCE in corpus.stage_plan; the job just
+    # materializes each stage to parquet so resume can skip it
+    cur = docs
+    funnel = {"input": n_in}
+    for name, fn in C.stage_plan(min_quality=args.min_quality,
+                                 max_df=args.max_df):
+        prev = cur
+
+        def run(fn=fn, prev=prev, name=name):
+            fn(prev).write.mode("overwrite").parquet(f"{out}/{name}")
             return None
-        ran = job.step(name, run)
-        return ran, spark.read.parquet(f"{out}/{name}")
 
-    _, kept = stage("exact_dedup", lambda: C.exact_keep(docs))
-    _, kept2 = stage("neardup_dedup",
-                     lambda: C.neardup_keep(kept, max_df=args.max_df))
-
-    def decontam():
-        split = kept2.withColumn("split", C.split_col())
-        train = split.filter("split = 'train'").drop("split")
-        ev = split.filter("split = 'val'").drop("split")
-        return C.decontaminate(train, ev)
-
-    _, clean = stage("decontaminated", decontam)
-    _, good = stage("quality_filtered",
-                    lambda: C.quality_filter(clean,
-                                             min_quality=args.min_quality))
-
-    def packed():
-        return pack_sequences(C.tokenize(good), seq_len=args.seq_len,
-                              num_shards=args.num_shards) \
-            .repartition(args.num_shards, "shard")
+        job.step(name, run)
+        cur = spark.read.parquet(f"{out}/{name}")
+        funnel[name] = cur.count()
+    good = cur
 
     def write_packed():
-        packed().write.mode("overwrite").partitionBy("shard") \
-            .parquet(f"{out}/shards")
+        (pack_sequences(C.tokenize(good), seq_len=args.seq_len,
+                        num_shards=args.num_shards)
+         .repartition(args.num_shards, "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(f"{out}/shards"))
         return None
 
     job.step("pack_shards", write_packed)
@@ -96,13 +88,6 @@ def main(argv=None) -> int:
         F.count("*").alias("packs"),
         F.countDistinct("shard").alias("shards"),
         F.sum("n_real").cast("long").alias("real_tokens")).collect()[0]
-    funnel = {
-        "input": n_in,
-        "exact_dedup": kept.count(),
-        "neardup_dedup": kept2.count(),
-        "decontaminated": clean.count(),
-        "quality_filtered": good.count(),
-    }
     print(json.dumps({
         "job_id": args.job_id,
         "funnel": funnel,

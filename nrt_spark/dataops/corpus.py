@@ -84,6 +84,30 @@ def tokenize(docs: DataFrame, vocab: int = VOCAB_SIZE) -> DataFrame:
         .withColumn("n_tok", F.size("tokens"))
 
 
+def _decontaminate_against_split(docs: DataFrame,
+                                 frac_val: int) -> DataFrame:
+    split = docs.withColumn("split", split_col(frac_val))
+    train = split.filter("split = 'train'").drop("split")
+    eval_docs = split.filter("split = 'val'").drop("split")
+    return decontaminate(train, eval_docs)
+
+
+def stage_plan(min_quality: float = 0.7, max_df: int = 50,
+               frac_val: int = 10):
+    """The funnel, defined ONCE: ordered (name, docs -> docs) stages.
+    Both :func:`build_corpus` (lazy, for tests) and jobs/corpus_job.py
+    (materializing each stage for resume) iterate this same plan, so
+    the certified path and the shipped path cannot drift."""
+    return [
+        ("exact_dedup", exact_keep),
+        ("neardup_dedup", lambda d: neardup_keep(d, max_df=max_df)),
+        ("decontaminated",
+         lambda d: _decontaminate_against_split(d, frac_val)),
+        ("quality_filtered",
+         lambda d: quality_filter(d, min_quality=min_quality)),
+    ]
+
+
 def build_corpus(docs: DataFrame, min_quality: float = 0.7,
                  max_df: int = 50, seq_len: int = 512,
                  num_shards: int = 16, frac_val: int = 10):
@@ -93,17 +117,11 @@ def build_corpus(docs: DataFrame, min_quality: float = 0.7,
     from nrt_spark.tokens import pack_sequences
 
     stages: dict[str, DataFrame] = {}
-    cur = exact_keep(docs)
-    stages["exact_dedup"] = cur
-    cur = neardup_keep(cur, max_df=max_df)
-    stages["neardup_dedup"] = cur
-    split = cur.withColumn("split", split_col(frac_val))
-    train = split.filter("split = 'train'").drop("split")
-    eval_docs = split.filter("split = 'val'").drop("split")
-    cur = decontaminate(train, eval_docs)
-    stages["decontaminated"] = cur
-    cur = quality_filter(cur, min_quality=min_quality)
-    stages["quality_filtered"] = cur
+    cur = docs
+    for name, fn in stage_plan(min_quality=min_quality, max_df=max_df,
+                               frac_val=frac_val):
+        cur = fn(cur)
+        stages[name] = cur
     toks = tokenize(cur)
     packed = pack_sequences(toks, seq_len=seq_len, num_shards=num_shards)
     return packed, stages

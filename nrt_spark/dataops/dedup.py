@@ -35,20 +35,33 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+#: the most recent cache_raw shingle relation — unpersisted on the next
+#: cache_raw call so repeated miner invocations (bench loops, the driver
+#: harness) pin at most ONE copy of the largest intermediate in memory
+_last_raw_cache = None
+
+
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
-                  cache_raw: bool = False) -> DataFrame:
+                  cache_raw: bool = False,
+                  broadcast_hot: bool = True) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
 
     ``max_df`` drops shingles appearing in more than that many docs
     (stop-phrase control — essential before any self-join at scale).
-    The hot-shingle list is heavy-hitter-bounded (at most
-    |shingle rows| / max_df entries), so it BROADCASTS: the cap is a
-    map-side filter, not a second shuffle of the full shingle relation.
+    With ``broadcast_hot`` (default) the hot-shingle list is
+    heavy-hitter-bounded (at most |shingle rows| / max_df entries) and
+    BROADCAST, making the cap a map-side filter instead of a second
+    shuffle of the full shingle relation; set it False when the corpus
+    is large enough that |rows|/max_df could exceed broadcast limits
+    (~10^8 entries) — the cap then falls back to a shuffled anti-join.
     ``cache_raw`` persists the pre-cap relation so the hot-list count
     and the capped output don't each recompute the explode+distinct
     (callers with multiple downstream consumers want this; a one-pass
-    consumer like minhash does not).
+    consumer like minhash does not).  Only the most recent cache_raw
+    relation stays persisted; earlier ones are released.
     """
+    global _last_raw_cache
+
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
     # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
@@ -64,10 +77,15 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     ).distinct()
     if max_df is not None:
         if cache_raw:
+            if _last_raw_cache is not None:
+                _last_raw_cache.unpersist()
             sh = sh.persist()
+            _last_raw_cache = sh
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_df).select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 

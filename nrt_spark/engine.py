@@ -24,6 +24,8 @@ observations at or before it are masked out exactly like NaN gaps.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -260,6 +262,20 @@ class NrtEngine:
         needs_bands = params.get("screen_outliers") == "CCDC_RIRLS"
         cols = ["doc_id", "tokens"] + (
             ["green_tokens", "swir_tokens"] if needs_bands else [])
+        if needs_bands:
+            # validate on the DRIVER like fit() does — a missing band
+            # column should be an immediate ValueError, not an opaque
+            # pyarrow field-not-found inside a Spark task
+            import pyarrow.parquet as pq
+
+            schema_cols = set(
+                pq.read_schema(
+                    next(Path(tokens_path).glob("bucket=*/*.parquet"))
+                ).names)
+            if not {"green_tokens", "swir_tokens"} <= schema_cols:
+                raise ValueError(
+                    "CCDC_RIRLS screen requires green_tokens and "
+                    "swir_tokens columns in the bucketed token table")
 
         def fit_gen(batches):
             import pyarrow.parquet as pq

@@ -1586,7 +1586,11 @@ def _day_tier_sql() -> str:
     pdf = day_tier_oracle(n_docs=60, n_obs=60)
 
     def num(x):
-        return "NULL" if x is None else f"CAST('{float(x)!r}' AS DOUBLE)"
+        # pandas coerces the twin's None to NaN: gap buckets must render
+        # as SQL NULL (what Spark's n=0 aggregate returns), never as
+        # CAST('nan' AS DOUBLE) — DuckDB NaN != SQL NULL
+        return ("NULL" if (x is None or x != x)
+                else f"CAST('{float(x)!r}' AS DOUBLE)")
 
     rows = ",\n".join(
         f"('{d}', TIMESTAMP '{ts}', {int(n)}, {num(m)}, {num(lo)}, {num(hi)})"
@@ -2389,8 +2393,12 @@ DRIVER_ORDER = [
 
 
 def queries():
-    assert set(DRIVER_ORDER) == set(REGISTRY), (
-        sorted(set(DRIVER_ORDER) ^ set(REGISTRY)))
+    # explicit raise, not assert: python -O would strip an assert and
+    # silently reintroduce the round-2 dropped-past-the-cap failure mode
+    if set(DRIVER_ORDER) != set(REGISTRY):
+        raise RuntimeError(
+            "DRIVER_ORDER out of sync with REGISTRY: "
+            f"{sorted(set(DRIVER_ORDER) ^ set(REGISTRY))}")
     return {name: REGISTRY[name][0] for name in DRIVER_ORDER}
 
 
@@ -2400,7 +2408,15 @@ _sql_cache: dict[str, str] = {}
 def oracle_sql():
     """name -> ANSI SQL.  Entries registered with a callable (the
     generated monitor-report oracles) are rendered lazily and cached —
-    importing this module stays cheap."""
+    importing this module stays cheap.
+
+    CONTRACT: data-dependent generators (the IVF centroids and the LSH
+    probe buckets) read the parquet at ``$NRT_TEST_SF_DIR`` (default
+    /root/testdata/sf0.01 — the scale the driver compares at).  When
+    comparing at any OTHER scale, export NRT_TEST_SF_DIR to that
+    directory BEFORE the first oracle_sql() call (tests/conftest.py
+    does this); a mismatch shows up as a spurious value-hash failure on
+    exactly those two entries, not a silent pass."""
     out = {}
     for name in DRIVER_ORDER:
         _fn, sql = REGISTRY[name]

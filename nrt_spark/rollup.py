@@ -170,10 +170,12 @@ def upsert_tier(spark, base_path: str, tier: str,
     Returns {"periods": [...], "buckets_before": n, "buckets_after": m}.
     """
     delta = rollup_raw(delta_long, tier, with_last_ts=True) \
-        .withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
+        .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
+        .persist()
     periods = sorted(r["period"] for r in
                      delta.select("period").distinct().collect())
     if not periods:
+        delta.unpersist()
         return {"periods": [], "buckets_before": 0, "buckets_after": 0}
     tier_path = f"{base_path}/tier={tier}"
     existing = (spark.read.option("basePath", tier_path).parquet(tier_path)
@@ -215,7 +217,17 @@ def upsert_tier(spark, base_path: str, tier: str,
                                 F.col("vsum") / F.col("n"))) \
      .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
      .select(*ROLLUP_COLS, "last_ts", "period")
+    # materialize BEFORE overwriting: merged's lineage reads the very
+    # partitions the write replaces, so cut it (localCheckpoint is
+    # eager) — otherwise a task retry during the overwrite could
+    # re-list source files that the commit has already deleted.  On
+    # Iceberg this whole step is an atomic MERGE INTO; on plain parquet
+    # a crash inside the commit itself can still lose the touched
+    # periods (same window compact_partition closes with its staged
+    # swap), so run upsert batches under the resumable-job lineage.
+    merged = merged.localCheckpoint()
     buckets_after = merged.count()
+    delta.unpersist()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
