@@ -340,6 +340,81 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None,
     }
 
 
+def run_monitor_leg(cores: int, docs: int) -> dict:
+    """One fresh-JVM leg of the MONITOR scaling pair: bucketed-layout
+    fit + monitor over ``docs`` series (the zero-shuffle fastpath whose
+    scaling is bounded by bucket splits only)."""
+    import shutil
+    import tempfile
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.engine import NrtEngine, write_tokens_bucketed
+    from nrt_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"monbench{cores}",
+                      shuffle_partitions=max(8, 2 * cores))
+    tmp = tempfile.mkdtemp(prefix="monscale_")
+    try:
+        buckets = max(64, 4 * cores)
+        toks = generate_tokens(spark, docs, n_obs=N_OBS,
+                               partitions=spark.sparkContext
+                               .defaultParallelism)
+        write_tokens_bucketed(toks, f"{tmp}/tok", buckets)
+        eng = NrtEngine(spark, "cusum", num_buckets=buckets,
+                        trend=False, method="OLS")
+        t0 = time.time()
+        state = eng.fit_bucketed(f"{tmp}/tok", history_end="2016-05-10")
+        eng.save_state(state, f"{tmp}/st")
+        eng.monitor_bucketed(f"{tmp}/st", f"{tmp}/tok").count()
+        wall = time.time() - t0
+        obs = docs * N_OBS
+        return {"cores": cores, "wall_sec": round(wall, 3),
+                "monitor_obs_per_sec": round(obs / wall, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+def run_monitor_scaling(n: int = 2, docs: int = 100_000,
+                        repeats: int = 2) -> dict:
+    """North-rule evidence for the MONITOR loop itself (the rollup
+    pipeline has its own ``--scaling``): the same bucketed fit+monitor
+    job at local[N] and local[4N] in fresh JVMs, best-of-``repeats``
+    per leg (same host-noise rationale as run_scaling)."""
+    results: dict = {}
+    raw: dict = {}
+    for cores in (n, 4 * n):
+        best = None
+        raw[cores] = []
+        for _ in range(repeats):
+            cmd = [sys.executable, __file__, "--monitor-leg",
+                   "--cores", str(cores)]
+            env = dict(os.environ, SPARK_GRAFT_BENCH_DOCS=str(docs))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            raw[cores].append(r["monitor_obs_per_sec"])
+            if best is None or r["monitor_obs_per_sec"] > \
+                    best["monitor_obs_per_sec"]:
+                best = r
+        results[cores] = best
+    tp_n = results[n]["monitor_obs_per_sec"]
+    tp_4n = results[4 * n]["monitor_obs_per_sec"]
+    return {
+        "metric": f"monitor (fit+monitor, bucketed fastpath) scaling "
+                  f"local[{n}] -> local[{4 * n}]",
+        f"obs_per_sec_{n}": tp_n,
+        f"obs_per_sec_{4 * n}": tp_4n,
+        "speedup": round(tp_4n / tp_n, 3),
+        "scaling_efficiency": round(tp_4n / tp_n / 4.0, 3),
+        "n_docs": docs,
+        "raw_runs": raw,
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=CPUS)
@@ -350,12 +425,21 @@ if __name__ == "__main__":
     ap.add_argument("--repeats", type=int, default=2,
                     help="fresh JVMs per scaling leg (best kept)")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--monitor-scaling", action="store_true",
+                    help="north-rule pair for the monitor loop itself")
+    ap.add_argument("--monitor-leg", action="store_true")
     ap.add_argument("--fit-bench", action="store_true")
     ap.add_argument("--single-node", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, n=args.scale_n,
                                      repeats=args.repeats)))
+    elif args.monitor_scaling:
+        print(json.dumps(run_monitor_scaling(
+            n=args.scale_n, docs=N_DOCS if N_DOCS != 20000 else 100_000,
+            repeats=args.repeats)))
+    elif args.monitor_leg:
+        print(json.dumps(run_monitor_leg(args.cores, N_DOCS)))
     elif args.fit_bench:
         print(json.dumps(run_fit_bench(args.cores)))
     elif args.single_node:
