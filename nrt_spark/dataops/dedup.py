@@ -78,7 +78,13 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     if max_df is not None:
         if cache_raw:
             if _last_raw_cache is not None:
-                _last_raw_cache.unpersist()
+                try:
+                    _last_raw_cache.unpersist()
+                except Exception:
+                    # the previous relation may belong to a stopped
+                    # SparkSession (e.g. a benchmark cycling sessions);
+                    # its cache died with that session — nothing to free
+                    pass
             sh = sh.persist()
             _last_raw_cache = sh
         hot = (sh.groupBy("shingle").count()
