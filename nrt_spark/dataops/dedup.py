@@ -139,7 +139,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     Salted md5 gives ``num_hashes`` independent hash families that any
     engine reproduces exactly.  Output: (doc_id, sig array<string>).
     """
-    sh = word_shingles(docs, n=n, max_df=max_df)
+    # cache the pre-cap shingles: the hot-list count and the capped
+    # output would otherwise each recompute the explode+distinct
+    sh = word_shingles(docs, n=n, max_df=max_df,
+                       cache_raw=max_df is not None)
     aggs = [F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
             .alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
