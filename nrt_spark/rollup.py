@@ -177,7 +177,19 @@ def upsert_tier(spark, base_path: str, tier: str,
     if not periods:
         delta.unpersist()
         return {"periods": [], "buckets_before": 0, "buckets_after": 0}
+    if "://" in base_path:
+        raise ValueError(
+            "upsert_tier drives local/shared-filesystem layouts; object "
+            "stores need the Iceberg MERGE INTO path (catalog.py)")
     tier_path = f"{base_path}/tier={tier}"
+    if not Path(tier_path).exists():
+        # create-or-merge: first batch bootstraps the tier
+        (delta.write.mode("overwrite").partitionBy("period")
+         .parquet(tier_path))
+        n = delta.count()
+        delta.unpersist()
+        return {"periods": periods, "buckets_before": 0,
+                "buckets_after": n}
     existing = (spark.read.option("basePath", tier_path).parquet(tier_path)
                 .filter(F.col("period").isin(periods)))
     if "last_ts" not in existing.columns:

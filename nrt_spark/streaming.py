@@ -293,3 +293,44 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rollup_stream_upsert(obs_stream, base_path: str, tier: str = "day",
+                         checkpoint: str | None = None):
+    """Stream observations INTO a maintained tier table: every
+    micro-batch folds through :func:`nrt_spark.rollup.upsert_tier`
+    (create-or-merge, dynamic partition overwrite of only the touched
+    periods) via ``foreachBatch``.
+
+    Redelivery protection: Structured Streaming may re-run a batch
+    after a crash; a per-batch marker ledger
+    (``<tier>/_batches/<id>.done``) makes the sink skip batches it
+    already applied — without it the merge would double-count, because
+    upsert is additive, not idempotent.  Caveat (plain parquet): a
+    crash between the upsert's commit and the marker write re-applies
+    that one batch on restart; on Iceberg the same sink becomes
+    exactly-once by folding the batch id into an atomic MERGE INTO.
+    State here is in the TABLE, not the stream — no watermark needed,
+    arbitrarily late data merges exactly (last_ts decides ``last``).
+
+    Returns the started StreamingQuery.
+    """
+    from nrt_spark.rollup import upsert_tier
+
+    ledger = Path(base_path) / f"tier={tier}" / "_batches"
+
+    def sink(batch_df, batch_id: int):
+        marker = ledger / f"{batch_id}.done"
+        if marker.exists():
+            return                      # redelivered batch: already merged
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        upsert_tier(spark, base_path, tier, batch_df)
+        ledger.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+
+    writer = obs_stream.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

@@ -252,3 +252,70 @@ def test_advance_duplicate_obs_deterministic(spark, setup):
     p1 = dict(zip(s1["doc_id"], s1["process"]))[doc]
     p2 = dict(zip(s2["doc_id"], s2["process"]))[doc]
     assert p1 == p2 and not np.isnan(p1)
+
+
+def test_rollup_stream_upsert_matches_batch(spark, tmp_path):
+    """Streamed micro-batch upserts land the tier exactly where one
+    batch rollup lands (state lives in the TABLE, so arbitrarily late
+    data merges exactly), and a redelivered batch id is skipped."""
+    import os
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.rollup import rollup_raw
+    from nrt_spark.streaming import rollup_stream_upsert
+    from nrt_spark.tokens import decode_long
+
+    long_df = decode_long(generate_tokens(spark, 20, n_obs=40))
+    src = tmp_path / "src"
+    # chunk1 holds the EARLIER half and arrives SECOND: the upsert sink
+    # must merge late data exactly (no watermark drop)
+    (long_df.filter("ts >= '2015-04-01'").coalesce(1)
+     .write.parquet(str(src / "chunk0")))
+    (long_df.filter("ts < '2015-04-01'").coalesce(1)
+     .write.parquet(str(src / "chunk1")))
+    for i, chunk in enumerate(("chunk0", "chunk1")):
+        for f in (src / chunk).glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "chunk*")))
+    out = tmp_path / "tiers"
+    q = rollup_stream_upsert(stream, str(out), "day",
+                             checkpoint=str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    q.stop()
+
+    got = (spark.read.parquet(str(out / "tier=day"))
+           .drop("period", "last_ts").toPandas()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "day").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
+
+    # redelivery: markers exist for the processed batches, and applying
+    # an already-marked batch id again must be a no-op
+    ledger = out / "tier=day" / "_batches"
+    markers = sorted(p.name for p in ledger.glob("*.done"))
+    assert len(markers) >= 2
+    before = got["n"].sum()
+    from nrt_spark.rollup import upsert_tier  # what the sink would call
+    # simulate the sink's skip: marker exists -> it returns before upsert
+    # (drive the real sink closure via a tiny re-run of the same stream)
+    q2 = rollup_stream_upsert(
+        spark.readStream.schema("doc_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1").parquet(str(src / "chunk*")),
+        str(out), "day", checkpoint=str(tmp_path / "ck"))
+    assert q2.awaitTermination(120)
+    q2.stop()
+    after = (spark.read.parquet(str(out / "tier=day"))
+             .toPandas()["n"].sum())
+    assert after == before
