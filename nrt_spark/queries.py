@@ -2016,6 +2016,52 @@ def nrt_streaming_rollup(spark, sf_dir):
         f"FROM {name}")
 
 
+@q("nrt_streaming_tier_upsert", lambda: _day_tier_sql())
+def nrt_streaming_tier_upsert(spark, sf_dir):
+    """Streaming TABLE-STATE maintenance through the driver's gate: the
+    token stream arrives as two out-of-order file chunks (the late
+    chunk holds the EARLIER observations) and folds into the tier via
+    foreachBatch + upsert_tier — no watermark, late data merges
+    exactly.  The result must equal the batch day tier row-for-row, so
+    it shares nrt_rollup_day_tier's VALUES oracle (at the 5-day cadence
+    every bucket's points arrive within one chunk, so even float sums
+    are byte-exact)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.streaming import rollup_stream_upsert
+    from nrt_spark.tokens import decode_long
+
+    tmp = tempfile.mkdtemp(prefix="nrt_stream_upsert_")
+    obs = decode_long(generate_tokens(spark, 60, n_obs=60)) \
+        .select("doc_id", "ts", "value")
+    (obs.filter("ts >= '2015-06-01'").coalesce(1)
+        .write.parquet(tmp + "/src/chunk0"))
+    (obs.filter("ts < '2015-06-01'").coalesce(1)
+        .write.parquet(tmp + "/src/chunk1"))
+    for i, chunk in enumerate(("chunk0", "chunk1")):
+        for f in _glob.glob(f"{tmp}/src/{chunk}/*.parquet"):
+            _os.utime(f, (1_700_000_000 + i * 10,) * 2)
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(tmp + "/src/chunk*"))
+    query = rollup_stream_upsert(stream, tmp + "/tiers", "day",
+                                 checkpoint=tmp + "/ck")
+    try:
+        finished = query.awaitTermination(120)
+    finally:
+        query.stop()
+    if not finished:
+        raise TimeoutError("streaming tier upsert did not drain in 120s")
+    return (spark.read.parquet(tmp + "/tiers/tier=day")
+            .select("doc_id", "bucket_start", "n",
+                    F.round("mean", 6).alias("mean"),
+                    F.round("vmin", 6).alias("vmin"),
+                    F.round("vmax", 6).alias("vmax")))
+
 
 # =========================================================================
 # Composite entries: fold schema-compatible sub-queries into one driver
@@ -2389,6 +2435,7 @@ DRIVER_ORDER = [
     "token_roundtrip_invariant", "band_ratio_checksum",
     # streaming LAST (crash isolation)
     "nrt_streaming_monitor_report", "nrt_streaming_rollup",
+    "nrt_streaming_tier_upsert",
 ]
 
 

@@ -16,7 +16,7 @@ ENGINE_FLAGSHIPS = {
     "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_gorilla_stats",
     "pack_token_sequences", "lsh_topk_embeddings", "ivf_topk_embeddings",
     "multimodal_features", "nrt_streaming_monitor_report",
-    "nrt_streaming_rollup",
+    "nrt_streaming_rollup", "nrt_streaming_tier_upsert",
 }
 
 
@@ -37,10 +37,12 @@ def test_every_flagship_inside_window():
 def test_order_is_engine_first_streaming_last():
     names = list(Q.queries())
     assert set(names[:13]) == ENGINE_FLAGSHIPS - {
-        "nrt_streaming_monitor_report", "nrt_streaming_rollup"}
+        "nrt_streaming_monitor_report", "nrt_streaming_rollup",
+        "nrt_streaming_tier_upsert"}
     # streaming last: a streaming crash can't shadow any other row
-    assert names[-2:] == ["nrt_streaming_monitor_report",
-                          "nrt_streaming_rollup"]
+    assert names[-3:] == ["nrt_streaming_monitor_report",
+                          "nrt_streaming_rollup",
+                          "nrt_streaming_tier_upsert"]
 
 
 def test_queries_and_oracle_sql_agree():
