@@ -305,26 +305,10 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None,
     reported for transparency.
     """
     docs = docs or max(N_DOCS, 500_000)
-    results: dict = {}
-    raw: dict = {}
-    for cores in (n, 4 * n):
-        best = None
-        raw[cores] = []
-        for _ in range(repeats):
-            cmd = [sys.executable, __file__, "--cores", str(cores),
-                   "--pipeline-only", "--sf-dir", sf_dir]
-            env = dict(os.environ, SPARK_GRAFT_BENCH_DOCS=str(docs))
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
-            raw[cores].append(r["rollup_points_per_sec"])
-            if best is None or r["rollup_points_per_sec"] > \
-                    best["rollup_points_per_sec"]:
-                best = r
-        results[cores] = best
+    results, raw = _best_of_legs(
+        ["--pipeline-only", "--sf-dir", sf_dir],
+        "rollup_points_per_sec", (n, 4 * n), repeats,
+        {"SPARK_GRAFT_BENCH_DOCS": str(docs)})
     tp_n = results[n]["rollup_points_per_sec"]
     tp_4n = results[4 * n]["rollup_points_per_sec"]
     return {
@@ -340,10 +324,11 @@ def run_scaling(sf_dir: str, n: int = 2, docs: int | None = None,
     }
 
 
-def run_monitor_leg(cores: int, docs: int) -> dict:
+def run_monitor_leg(cores: int, docs: int, buckets: int) -> dict:
     """One fresh-JVM leg of the MONITOR scaling pair: bucketed-layout
     fit + monitor over ``docs`` series (the zero-shuffle fastpath whose
-    scaling is bounded by bucket splits only)."""
+    scaling is bounded by bucket splits only).  ``buckets`` is fixed by
+    the caller so BOTH legs run the identical job/layout."""
     import shutil
     import tempfile
 
@@ -355,7 +340,6 @@ def run_monitor_leg(cores: int, docs: int) -> dict:
                       shuffle_partitions=max(8, 2 * cores))
     tmp = tempfile.mkdtemp(prefix="monscale_")
     try:
-        buckets = max(64, 4 * cores)
         toks = generate_tokens(spark, docs, n_obs=N_OBS,
                                partitions=spark.sparkContext
                                .defaultParallelism)
@@ -375,32 +359,50 @@ def run_monitor_leg(cores: int, docs: int) -> dict:
         spark.stop()
 
 
+def _best_of_legs(leg_argv, metric_key: str, cores_list, repeats: int,
+                  env_extra: dict) -> tuple[dict, dict]:
+    """Shared fresh-JVM leg runner for the scaling pairs: run
+    ``repeats`` subprocesses per core count, keep the best
+    ``metric_key``, surface stderr when a leg produces no JSON line."""
+    results: dict = {}
+    raw: dict = {}
+    for cores in cores_list:
+        best = None
+        raw[cores] = []
+        for _ in range(repeats):
+            cmd = [sys.executable, __file__, "--cores", str(cores)]                 + leg_argv
+            env = dict(os.environ, **env_extra)
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"scaling leg local[{cores}] produced no result "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-15:]))
+            r = json.loads(lines[-1])
+            raw[cores].append(r[metric_key])
+            if best is None or r[metric_key] > best[metric_key]:
+                best = r
+        results[cores] = best
+    return results, raw
+
+
 def run_monitor_scaling(n: int = 2, docs: int = 100_000,
                         repeats: int = 2) -> dict:
     """North-rule evidence for the MONITOR loop itself (the rollup
     pipeline has its own ``--scaling``): the same bucketed fit+monitor
     job at local[N] and local[4N] in fresh JVMs, best-of-``repeats``
-    per leg (same host-noise rationale as run_scaling)."""
-    results: dict = {}
-    raw: dict = {}
-    for cores in (n, 4 * n):
-        best = None
-        raw[cores] = []
-        for _ in range(repeats):
-            cmd = [sys.executable, __file__, "--monitor-leg",
-                   "--cores", str(cores)]
-            env = dict(os.environ, SPARK_GRAFT_BENCH_DOCS=str(docs))
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            r = json.loads(line)
-            raw[cores].append(r["monitor_obs_per_sec"])
-            if best is None or r["monitor_obs_per_sec"] > \
-                    best["monitor_obs_per_sec"]:
-                best = r
-        results[cores] = best
+    per leg (same host-noise rationale as run_scaling).  The bucket
+    count is fixed ONCE from the larger leg so both legs run the
+    identical layout."""
+    buckets = max(64, 16 * n)
+    results, raw = _best_of_legs(
+        ["--monitor-leg", "--buckets", str(buckets)],
+        "monitor_obs_per_sec", (n, 4 * n), repeats,
+        {"SPARK_GRAFT_BENCH_DOCS": str(docs)})
     tp_n = results[n]["monitor_obs_per_sec"]
     tp_4n = results[4 * n]["monitor_obs_per_sec"]
     return {
@@ -411,6 +413,7 @@ def run_monitor_scaling(n: int = 2, docs: int = 100_000,
         "speedup": round(tp_4n / tp_n, 3),
         "scaling_efficiency": round(tp_4n / tp_n / 4.0, 3),
         "n_docs": docs,
+        "buckets": buckets,
         "raw_runs": raw,
     }
 
@@ -428,6 +431,10 @@ if __name__ == "__main__":
     ap.add_argument("--monitor-scaling", action="store_true",
                     help="north-rule pair for the monitor loop itself")
     ap.add_argument("--monitor-leg", action="store_true")
+    ap.add_argument("--docs", type=int, default=100_000,
+                    help="series count for --monitor-scaling")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for --monitor-leg")
     ap.add_argument("--fit-bench", action="store_true")
     ap.add_argument("--single-node", action="store_true")
     args = ap.parse_args()
@@ -436,10 +443,10 @@ if __name__ == "__main__":
                                      repeats=args.repeats)))
     elif args.monitor_scaling:
         print(json.dumps(run_monitor_scaling(
-            n=args.scale_n, docs=N_DOCS if N_DOCS != 20000 else 100_000,
-            repeats=args.repeats)))
+            n=args.scale_n, docs=args.docs, repeats=args.repeats)))
     elif args.monitor_leg:
-        print(json.dumps(run_monitor_leg(args.cores, N_DOCS)))
+        print(json.dumps(run_monitor_leg(args.cores, N_DOCS,
+                                         args.buckets)))
     elif args.fit_bench:
         print(json.dumps(run_fit_bench(args.cores)))
     elif args.single_node:

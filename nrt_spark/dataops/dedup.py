@@ -56,8 +56,9 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     (~10^8 entries) — the cap then falls back to a shuffled anti-join.
     ``cache_raw`` persists the pre-cap relation so the hot-list count
     and the capped output don't each recompute the explode+distinct
-    (callers with multiple downstream consumers want this; a one-pass
-    consumer like minhash does not).  Only the most recent cache_raw
+    (every capped caller is at least two-pass — the hot-list count
+    plus the capped output — so jaccard AND minhash both use it).
+    Only the most recent cache_raw
     relation stays persisted; earlier ones are released.
     """
     global _last_raw_cache

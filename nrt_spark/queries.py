@@ -1890,7 +1890,7 @@ def multimodal_features(spark, sf_dir):
                         F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
-# the two streaming entries are registered LAST: if the streaming
+# the three streaming entries are registered LAST: if the streaming
 # machinery ever hard-kills the harness process, every other registry
 # entry has already been recorded.
 @q("nrt_streaming_monitor_report",
@@ -2406,7 +2406,7 @@ def token_count_suite(spark, sf_dir):
 # =========================================================================
 # Driver emission order: the correctness harness records the FIRST 50
 # entries of queries()/oracle_sql(), so the engine-specific flagships go
-# first and the two streaming entries sit LAST (a streaming crash can't
+# first and the three streaming entries sit LAST (a streaming crash can't
 # shadow any other row).  tests/test_queries_registry.py pins both the
 # cap and the ordering.
 # =========================================================================

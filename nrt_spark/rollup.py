@@ -182,8 +182,11 @@ def upsert_tier(spark, base_path: str, tier: str,
             "upsert_tier drives local/shared-filesystem layouts; object "
             "stores need the Iceberg MERGE INTO path (catalog.py)")
     tier_path = f"{base_path}/tier={tier}"
-    if not Path(tier_path).exists():
-        # create-or-merge: first batch bootstraps the tier
+    # create-vs-merge discriminator: COMMITTED content, not bare dir
+    # existence — a crashed bootstrap leaves the dir with only
+    # _temporary junk, and the merge path would then wedge every retry
+    # on an unreadable table instead of re-bootstrapping
+    if not any(Path(tier_path).glob("period=*")):
         (delta.write.mode("overwrite").partitionBy("period")
          .parquet(tier_path))
         n = delta.count()

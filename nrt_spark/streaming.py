@@ -295,29 +295,19 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
     )
 
 
-def rollup_stream_upsert(obs_stream, base_path: str, tier: str = "day",
-                         checkpoint: str | None = None):
-    """Stream observations INTO a maintained tier table: every
-    micro-batch folds through :func:`nrt_spark.rollup.upsert_tier`
-    (create-or-merge, dynamic partition overwrite of only the touched
-    periods) via ``foreachBatch``.
+def _make_upsert_sink(base_path: str, tier: str, checkpoint: str):
+    """The foreachBatch sink behind :func:`rollup_stream_upsert`,
+    exposed so tests can drive the redelivery-skip branch directly.
+    The marker ledger is NAMESPACED by the checkpoint: batch ids are
+    only unique per checkpoint, so a bare ``<id>.done`` would let a
+    different stream's (or a fresh temp checkpoint's) batch 0 collide
+    with a stale marker and silently drop new data."""
+    import hashlib
 
-    Redelivery protection: Structured Streaming may re-run a batch
-    after a crash; a per-batch marker ledger
-    (``<tier>/_batches/<id>.done``) makes the sink skip batches it
-    already applied — without it the merge would double-count, because
-    upsert is additive, not idempotent.  Caveat (plain parquet): a
-    crash between the upsert's commit and the marker write re-applies
-    that one batch on restart; on Iceberg the same sink becomes
-    exactly-once by folding the batch id into an atomic MERGE INTO.
-    State here is in the TABLE, not the stream — no watermark needed,
-    arbitrarily late data merges exactly (last_ts decides ``last``).
-
-    Returns the started StreamingQuery.
-    """
     from nrt_spark.rollup import upsert_tier
 
-    ledger = Path(base_path) / f"tier={tier}" / "_batches"
+    ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+    ledger = Path(base_path) / f"tier={tier}" / "_batches" / ns
 
     def sink(batch_df, batch_id: int):
         marker = ledger / f"{batch_id}.done"
@@ -330,7 +320,38 @@ def rollup_stream_upsert(obs_stream, base_path: str, tier: str = "day",
         ledger.mkdir(parents=True, exist_ok=True)
         marker.touch()
 
-    writer = obs_stream.writeStream.foreachBatch(sink)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.trigger(availableNow=True).start()
+    return sink
+
+
+def rollup_stream_upsert(obs_stream, base_path: str, tier: str,
+                         checkpoint: str):
+    """Stream observations INTO a maintained tier table: every
+    micro-batch folds through :func:`nrt_spark.rollup.upsert_tier`
+    (create-or-merge, dynamic partition overwrite of only the touched
+    periods) via ``foreachBatch``.
+
+    Redelivery protection: Structured Streaming may re-run a batch
+    after a crash; a checkpoint-namespaced per-batch marker ledger
+    (``<tier>/_batches/<ns>/<id>.done``) makes the sink skip batches it
+    already applied — without it the merge would double-count, because
+    upsert is additive, not idempotent.  ``checkpoint`` is REQUIRED and
+    must be stable for the stream's lifetime: the checkpoint's offset
+    log is what makes batch ids meaningful, and re-ingesting an
+    already-merged source under a FRESH checkpoint double-counts by
+    design (as with any additive sink).  Caveat (plain parquet): a
+    crash between the upsert's commit and the marker write re-applies
+    that one batch on restart; on Iceberg the same sink becomes
+    exactly-once by folding the batch id into an atomic MERGE INTO.
+    State here is in the TABLE, not the stream — no watermark needed,
+    arbitrarily late data merges exactly (last_ts decides ``last``).
+
+    Returns the started StreamingQuery.
+    """
+    if not checkpoint:
+        raise ValueError("rollup_stream_upsert requires a stable "
+                         "checkpoint location (batch ids — and the "
+                         "redelivery ledger — are per-checkpoint)")
+    sink = _make_upsert_sink(base_path, tier, checkpoint)
+    return (obs_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -301,21 +301,24 @@ def test_rollup_stream_upsert_matches_batch(spark, tmp_path):
                                want["vsum"].to_numpy(dtype=float),
                                rtol=1e-12)
 
-    # redelivery: markers exist for the processed batches, and applying
-    # an already-marked batch id again must be a no-op
-    ledger = out / "tier=day" / "_batches"
-    markers = sorted(p.name for p in ledger.glob("*.done"))
+    # redelivery: drive the SINK closure directly with an
+    # already-marked batch id — it must return before merging (a
+    # same-checkpoint stream restart would be vacuous here: the offset
+    # log yields no batches, so the ledger branch would never run)
+    from nrt_spark.streaming import _make_upsert_sink
+
+    ck = str(tmp_path / "ck")
+    sink = _make_upsert_sink(str(out), "day", ck)
+    import hashlib
+    ns = hashlib.sha256(ck.encode()).hexdigest()[:12]
+    ledger = out / "tier=day" / "_batches" / ns
+    markers = sorted(int(p.stem) for p in ledger.glob("*.done"))
     assert len(markers) >= 2
     before = got["n"].sum()
-    from nrt_spark.rollup import upsert_tier  # what the sink would call
-    # simulate the sink's skip: marker exists -> it returns before upsert
-    # (drive the real sink closure via a tiny re-run of the same stream)
-    q2 = rollup_stream_upsert(
-        spark.readStream.schema("doc_id string, ts timestamp, value double")
-        .option("maxFilesPerTrigger", "1").parquet(str(src / "chunk*")),
-        str(out), "day", checkpoint=str(tmp_path / "ck"))
-    assert q2.awaitTermination(120)
-    q2.stop()
-    after = (spark.read.parquet(str(out / "tier=day"))
-             .toPandas()["n"].sum())
-    assert after == before
+    redelivered = spark.read.parquet(str(src / "chunk1"))
+    sink(redelivered, markers[-1])          # marked id -> skipped
+    mid = spark.read.parquet(str(out / "tier=day")).toPandas()["n"].sum()
+    assert mid == before
+    sink(redelivered, markers[-1] + 1)      # NEW id -> merges (additive)
+    after = spark.read.parquet(str(out / "tier=day")).toPandas()["n"].sum()
+    assert after == before + redelivered.filter("value IS NOT NULL").count()
