@@ -324,3 +324,34 @@ def test_upsert_tier_requires_last_ts(spark, long_df, tmp_path):
     write_tier(rollup_raw(long_df, "day"), str(tmp_path), "day")
     with pytest.raises(ValueError, match="with_last_ts"):
         upsert_tier(spark, str(tmp_path), "day", long_df.limit(10))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_upsert_tier_any_arrival_order(spark, long_df, tmp_path, seed):
+    """Property: observations split randomly into 3 batches applied in
+    any order land the tier exactly where one batch rollup lands —
+    arrival order never decides (last_ts resolves `last`)."""
+    from pyspark.sql import functions as F
+    from nrt_spark.rollup import rollup_raw, upsert_tier
+
+    part = F.pmod(F.xxhash64(F.concat_ws("|", "doc_id",
+                                         F.col("ts").cast("string"),
+                                         F.lit(str(seed)))), F.lit(3))
+    batches = [long_df.filter(part == i) for i in range(3)]
+    order = [(seed + i) % 3 for i in range(3)]        # rotate per seed
+    base = str(tmp_path / f"s{seed}")
+    for i in order:
+        upsert_tier(spark, base, "day", batches[i])
+    got = (spark.read.parquet(f"{base}/tier=day")
+           .drop("period", "last_ts").toPandas()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "day").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
