@@ -123,3 +123,73 @@ def test_recresid_equals_direct_refit(seed, k):
         f = 1.0 + X[t] @ np.linalg.inv(X[:t].T @ X[:t]) @ X[t]
         np.testing.assert_allclose(got[t], e / np.sqrt(f), rtol=1e-8,
                                    atol=1e-10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_advance_scatter_matches_per_row_fold(data):
+    """The vectorized observation scatter in streaming._advance (one
+    fancy assignment + np.maximum.at) must agree with the per-row
+    reference fold for every mix of duplicate (doc, day) rows, NaN
+    values, unknown doc_ids and late (behind-watermark) observations."""
+    import pandas as pd
+
+    from nrt_spark.kernels.monitors import fit_state, resolve_params
+    from nrt_spark.state import state_to_pdf
+    from nrt_spark.streaming import _advance
+
+    K = data.draw(st.integers(min_value=1, max_value=6))
+    n_obs = data.draw(st.integers(min_value=0, max_value=25))
+    rng = np.random.default_rng(data.draw(
+        st.integers(min_value=0, max_value=2 ** 31 - 1)))
+    params = resolve_params("ewma", trend=False)
+    hist = rng.normal(10, 1, (40, K))
+    state = fit_state(hist, np.arange(0, 200, 5, dtype=np.int64), params)
+    doc_ids = np.array([f"d{i}" for i in range(K)])
+    last = rng.integers(190, 210, K).astype(np.int64)
+    pdf = state_to_pdf(state, doc_ids, 0, last)
+
+    docs = data.draw(st.lists(
+        st.sampled_from(list(doc_ids) + ["UNKNOWN"]),
+        min_size=n_obs, max_size=n_obs))
+    days = data.draw(st.lists(st.integers(min_value=180, max_value=260),
+                              min_size=n_obs, max_size=n_obs))
+    vals = [data.draw(st.one_of(st.just(float("nan")),
+                                st.floats(min_value=-50, max_value=50,
+                                          allow_nan=False)))
+            for _ in range(n_obs)]
+    obs = pd.DataFrame({"doc_id": docs, "day": days, "value": vals})
+
+    got = _advance(pdf.copy(deep=True), obs.copy(), params, 0)
+
+    # reference: the pre-vectorization per-row fold
+    from nrt_spark.kernels.monitors import run_monitor
+    from nrt_spark.state import pdf_to_state
+
+    ref_pdf = pdf.copy(deep=True)
+    kstate = pdf_to_state(ref_pdf)
+    last_day = ref_pdf["last_day"].to_numpy(dtype=np.int64)
+    doc_pos = {d: i for i, d in enumerate(ref_pdf["doc_id"])}
+    obs2 = obs.sort_values(["day", "value"], na_position="first",
+                           kind="mergesort")
+    udays = np.sort(obs2["day"].unique()).astype(np.int64)
+    y = np.full((len(udays), K), np.nan)
+    day_pos = {d: i for i, d in enumerate(udays)}
+    for doc, day, val in zip(obs2["doc_id"], obs2["day"], obs2["value"]):
+        k = doc_pos.get(doc)
+        if k is not None:
+            y[day_pos[day], k] = val
+    y[udays[:, None] <= last_day[None, :]] = np.nan
+    run_monitor(kstate, y, udays, params)
+    new_last = last_day.copy()
+    if len(obs2):
+        per_doc_max = obs2.groupby("doc_id")["day"].max()
+        for doc, d in per_doc_max.items():
+            k = doc_pos.get(doc)
+            if k is not None and int(d) > new_last[k]:
+                new_last[k] = int(d)
+    want = state_to_pdf(kstate, ref_pdf["doc_id"].to_numpy(), 0, new_last)
+
+    for col in ("mask", "process", "detection_date", "last_day", "n"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
