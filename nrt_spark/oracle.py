@@ -313,3 +313,31 @@ def day_tier_oracle(n_docs: int = 60, n_obs: int = 60) -> pd.DataFrame:
                 rows.append((doc, ts, 1, val, val, val))
     return pd.DataFrame(rows, columns=["doc_id", "bucket_start", "n",
                                        "mean", "vmin", "vmax"])
+
+
+def multimodal_features_oracle(sf_dir: str, dim: int = 8) -> pd.DataFrame:
+    """Expected (media_id, n_bytes, f0) rows for the multimodal decode
+    plumbing over the documents table: the stand-in feature is a pure
+    sha256 expansion of the payload bytes (dataops.multimodal), so the
+    twin recomputes it straight from the parquet — certifying the Arrow
+    batching, schema and byte handling end to end even though the real
+    media decode is stubbed.  f0 is rounded exactly like Spark's
+    ``F.round`` (BigDecimal HALF_UP on the double's exact expansion)."""
+    import decimal
+
+    import duckdb
+
+    from nrt_spark.dataops.multimodal import _fake_feature
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    out = []
+    q = decimal.Decimal("1e-6")
+    for doc_id, text in rows:
+        payload = text.encode("utf-8")
+        f0 = float(_fake_feature(payload, dim)[0])
+        f0r = float(decimal.Decimal(f0).quantize(
+            q, rounding=decimal.ROUND_HALF_UP))
+        out.append((str(doc_id), len(payload), f0r))
+    return pd.DataFrame(out, columns=["media_id", "n_bytes", "f0"])

@@ -1879,15 +1879,41 @@ def ivf_topk_embeddings(spark, sf_dir):
     return SS.ivf_topk(emb, probe, C, k=10, nprobe=6)
 
 
-@q("multimodal_features", None)
+def _multimodal_sql() -> str:
+    """Oracle for the multimodal decode plumbing: the stand-in feature
+    is a pure sha256 expansion of the payload bytes, so the numpy twin
+    recomputes (media_id, n_bytes, f0) straight from the parquet and
+    renders a VALUES oracle — the real media decode stays honestly
+    stubbed, but the Spark-side plumbing (Arrow batching, byte
+    handling, schema) is now cross-engine certified.  Reads
+    ``$NRT_TEST_SF_DIR`` like the other data-dependent generators."""
+    import os
+
+    from nrt_spark.oracle import multimodal_features_oracle
+
+    sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    pdf = multimodal_features_oracle(sf_dir, dim=8)
+    rows = ",\n".join(
+        f"('{m}', {int(nb)}, CAST('{float(f0)!r}' AS DOUBLE))"
+        for m, nb, f0 in pdf.itertuples(index=False))
+    return ("SELECT media_id, CAST(n_bytes AS INT) AS n_bytes, "
+            "CAST(f0 AS DOUBLE) AS f0 FROM (VALUES\n" + rows
+            + "\n) t(media_id, n_bytes, f0)")
+
+
+@q("multimodal_features", lambda: _multimodal_sql())
 def multimodal_features(spark, sf_dir):
-    """Binary-payload decode plumbing (deterministic fake features)."""
+    """Binary-payload decode plumbing (deterministic fake features),
+    cross-engine certified via the sha256-expansion twin."""
     from nrt_spark.dataops.multimodal import docs_as_media, decode_features
 
     media = docs_as_media(_t(spark, sf_dir, "documents"))
     feats = decode_features(media, dim=8, fake=True)
+    # cast BEFORE rounding: round(float32) stays float32, whose
+    # double promotion differs from the oracle's exact decimal
     return feats.select("media_id", "n_bytes",
-                        F.round(F.element_at("features", 1), 6).alias("f0"))
+                        F.round(F.element_at("features", 1).cast("double"),
+                                6).alias("f0"))
 
 
 # the three streaming entries are registered LAST: if the streaming
