@@ -322,7 +322,12 @@ def multimodal_features_oracle(sf_dir: str, dim: int = 8) -> pd.DataFrame:
     twin recomputes it straight from the parquet — certifying the Arrow
     batching, schema and byte handling end to end even though the real
     media decode is stubbed.  f0 is rounded exactly like Spark's
-    ``F.round`` (BigDecimal HALF_UP on the double's exact expansion)."""
+    ``F.round``, which is ``BigDecimal.valueOf(d)`` + HALF_UP — i.e.
+    HALF_UP on the double's SHORTEST round-trip decimal repr, not on
+    its exact binary expansion (``Decimal(repr(x))``, not
+    ``Decimal(x)``; the two differ on values whose shortest repr
+    terminates in a 7th-decimal 5).  NULL texts mirror the Spark side:
+    n_bytes 0, f0 NULL."""
     import decimal
 
     import duckdb
@@ -335,9 +340,12 @@ def multimodal_features_oracle(sf_dir: str, dim: int = 8) -> pd.DataFrame:
     out = []
     q = decimal.Decimal("1e-6")
     for doc_id, text in rows:
+        if text is None:
+            out.append((str(doc_id), 0, None))
+            continue
         payload = text.encode("utf-8")
         f0 = float(_fake_feature(payload, dim)[0])
-        f0r = float(decimal.Decimal(f0).quantize(
+        f0r = float(decimal.Decimal(repr(f0)).quantize(
             q, rounding=decimal.ROUND_HALF_UP))
         out.append((str(doc_id), len(payload), f0r))
     return pd.DataFrame(out, columns=["media_id", "n_bytes", "f0"])

@@ -1894,7 +1894,10 @@ def _multimodal_sql() -> str:
     sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
     pdf = multimodal_features_oracle(sf_dir, dim=8)
     rows = ",\n".join(
-        f"('{m}', {int(nb)}, CAST('{float(f0)!r}' AS DOUBLE))"
+        "('{}', {}, {})".format(
+            m, int(nb),
+            "NULL" if (f0 is None or f0 != f0)
+            else f"CAST('{float(f0)!r}' AS DOUBLE)")
         for m, nb, f0 in pdf.itertuples(index=False))
     return ("SELECT media_id, CAST(n_bytes AS INT) AS n_bytes, "
             "CAST(f0 AS DOUBLE) AS f0 FROM (VALUES\n" + rows

@@ -326,20 +326,22 @@ def test_upsert_tier_requires_last_ts(spark, long_df, tmp_path):
         upsert_tier(spark, str(tmp_path), "day", long_df.limit(10))
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_upsert_tier_any_arrival_order(spark, long_df, tmp_path, seed):
-    """Property: observations split randomly into 3 batches applied in
-    any order land the tier exactly where one batch rollup lands —
-    arrival order never decides (last_ts resolves `last`)."""
+@pytest.mark.parametrize("order", [(0, 1, 2), (2, 1, 0), (1, 0, 2)])
+def test_upsert_tier_any_arrival_order(spark, long_df, tmp_path, order):
+    """Property: the SAME 3-way random split applied in different
+    permutations (identity, full reversal, and a pairwise swap — so
+    order varies while content is held fixed, and different batches
+    exercise the bootstrap path) lands the tier exactly where one batch
+    rollup lands — arrival order never decides (last_ts resolves
+    `last`)."""
     from pyspark.sql import functions as F
     from nrt_spark.rollup import rollup_raw, upsert_tier
 
     part = F.pmod(F.xxhash64(F.concat_ws("|", "doc_id",
-                                         F.col("ts").cast("string"),
-                                         F.lit(str(seed)))), F.lit(3))
+                                         F.col("ts").cast("string"))),
+                  F.lit(3))
     batches = [long_df.filter(part == i) for i in range(3)]
-    order = [(seed + i) % 3 for i in range(3)]        # rotate per seed
-    base = str(tmp_path / f"s{seed}")
+    base = str(tmp_path / ("s" + "".join(map(str, order))))
     for i in order:
         upsert_tier(spark, base, "day", batches[i])
     got = (spark.read.parquet(f"{base}/tier=day")
