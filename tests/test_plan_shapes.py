@@ -111,3 +111,18 @@ def test_bucketed_monitor_has_no_exchange(spark, tmp_path):
     mon_plan = plan_of(eng.monitor_bucketed(str(tmp_path / "st"), path))
     assert "Exchange" not in mon_plan
     assert "Join" not in mon_plan
+
+
+def test_corpus_pipeline_no_cross_join(spark):
+    """The full corpus funnel (dedup -> near-dup -> decontaminate ->
+    quality -> tokenize -> pack) must never plan a cartesian product or
+    nested-loop join — every self-join keys on a digest/shingle/band
+    hash."""
+    from nrt_spark.dataops.corpus import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed, stages = build_corpus(docs, num_shards=4, seq_len=128)
+    for name, df in list(stages.items()) + [("packed", packed)]:
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
