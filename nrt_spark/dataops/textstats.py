@@ -113,3 +113,35 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.substring(F.md5(normalized_text()), 1, 16).alias("fp"),
         F.length("text").alias("n_chars"),
     )
+
+
+def bigram_freq_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc corpus-bigram-frequency stats — the cheap LM-frequency
+    quality signal real pipelines use before any model-based filter:
+    documents whose word bigrams are rare across the corpus skew
+    garbled/boilerplate-free-form.  Emits INTEGERS (occurrence-weighted
+    frequency sum + bigram count, no division/log), so the cross-engine
+    oracle digest is exact — a true LM log-prob would hinge on libm ulp
+    agreement between engines.
+
+    Scale shape: one groupBy on the bigram (corpus counts) + one join
+    back on the same key + one per-doc agg — the count table is the
+    (heavy-hitter-compressible) model artifact.
+    Output: (doc_id, n_bigrams, freq_sum).
+    """
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split(normalized_text(), " "),
+                 lambda w: F.length(w) > 0).alias("w"))
+    bi = words.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), "
+            "i -> concat(w[i], ' ', w[i + 1])) "
+            "ELSE array() END")).alias("bg"))
+    counts = bi.groupBy("bg").agg(F.count("*").alias("c"))
+    return (bi.join(counts, "bg")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("c").alias("freq_sum")))

@@ -2391,11 +2391,38 @@ UNION ALL
 SELECT 'quality' AS part, {_NS} AS k1, {_NS} AS k2, quality AS v,
        n_docs AS n
 FROM ({SUB_SQL['quality_histogram']}) q
+UNION ALL
+SELECT 'bigram' AS part, CAST(doc_id AS VARCHAR) AS k1, {_NS} AS k2,
+       CAST(freq_sum AS DOUBLE) AS v, n_bigrams AS n
+FROM (
+  WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(
+             regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+             x -> len(x) > 0) AS w
+    FROM documents
+  ), bi AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 2 THEN
+             list_transform(range(len(w) - 1),
+                            i -> w[i + 1] || ' ' || w[i + 2])
+             ELSE [] END) AS bg
+    FROM w
+  ), counts AS (
+    SELECT bg, count(*) AS c FROM bi GROUP BY bg
+  )
+  SELECT bi.doc_id, count(*) AS n_bigrams,
+         CAST(sum(c) AS BIGINT) AS freq_sum
+  FROM bi JOIN counts USING (bg) GROUP BY bi.doc_id
+) bf
 """)
 def doc_lang_quality(spark, sf_dir):
-    """Language-ID (per-doc prediction) + quality-score histogram."""
+    """Language-ID (per-doc prediction) + quality-score histogram +
+    corpus-bigram-frequency stats (the cheap LM-frequency filter
+    signal; integer-exact so the oracle digest is exact)."""
     l = langid_docs(spark, sf_dir)
     h = quality_histogram(spark, sf_dir)
+    bf = TS.bigram_freq_stats(_t(spark, sf_dir, "documents"))
     return (
         l.select(F.lit("langid").alias("part"),
                  F.col("doc_id").cast("string").alias("k1"),
@@ -2406,6 +2433,11 @@ def doc_lang_quality(spark, sf_dir):
                            _null("string").alias("k2"),
                            F.col("quality").alias("v"),
                            F.col("n_docs").alias("n")))
+        .unionAll(bf.select(F.lit("bigram").alias("part"),
+                            F.col("doc_id").cast("string").alias("k1"),
+                            _null("string").alias("k2"),
+                            F.col("freq_sum").cast("double").alias("v"),
+                            F.col("n_bigrams").alias("n")))
     )
 
 
