@@ -144,6 +144,31 @@ def _run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
+def run_hw_control(cores_list, rows: int = 2_000_000_000) -> dict:
+    """Pure-JVM hardware-control scan: ``range(rows).avg(xxhash64(id))``
+    — no Python, no shuffle, whole-stage codegen only — at each core
+    count, in fresh SparkContexts.  This measures the BOX, not the
+    engine: the sandbox's parallel scaling varies by session (round-3
+    adjudication: 1226->1532 M rows/s 8->32 cores one day, 1733->3301
+    another), so the bench artifact embeds its own denominator.  A
+    round-over-round query regression that co-moves with this number is
+    host drift; one that doesn't is a plan regression."""
+    from pyspark.sql import functions as F
+
+    from nrt_spark.session import get_spark
+
+    out = {}
+    for cores in cores_list:
+        spark = get_spark(cores=cores, app_name=f"hwctl{cores}")
+        df = spark.range(rows).select(F.avg(F.xxhash64("id")))
+        df.collect()                                  # warm codegen
+        t0 = time.time()
+        spark.range(rows + 1).select(F.avg(F.xxhash64("id"))).collect()
+        out[str(cores)] = round(rows / (time.time() - t0) / 1e6, 1)
+        spark.stop()
+    return out                                        # M rows/sec
+
+
 def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     from nrt_spark.session import get_spark
 
@@ -176,6 +201,12 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
                            shuffle_partitions=16)
         out["queries_local8"] = _run_queries(spark8, sf_dir)
         spark8.stop()
+    if include_queries:
+        # self-normalization (round-3 verdict #1): the artifact carries
+        # the box's own pure-JVM throughput at the bench core counts so
+        # the judge can separate host drift from plan regressions
+        out["hw_control_rows_per_sec_m"] = run_hw_control(
+            sorted({8, cores}))
     return out
 
 
@@ -445,7 +476,11 @@ if __name__ == "__main__":
         print(json.dumps(run_monitor_scaling(
             n=args.scale_n, docs=args.docs, repeats=args.repeats)))
     elif args.monitor_leg:
-        print(json.dumps(run_monitor_leg(args.cores, N_DOCS,
+        # env wins (run_monitor_scaling passes docs to its subprocess
+        # legs that way); a direct CLI invocation honors --docs
+        leg_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
+                                      args.docs))
+        print(json.dumps(run_monitor_leg(args.cores, leg_docs,
                                          args.buckets)))
     elif args.fit_bench:
         print(json.dumps(run_fit_bench(args.cores)))
