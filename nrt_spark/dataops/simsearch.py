@@ -115,19 +115,50 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
 
 
 def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
-               vec_col: str = "embedding", id_col: str = "vec_id"
-               ) -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               max_inline_cells: int = 32) -> DataFrame:
     """Assign each vector its IVF cell = argmax cosine over centroids
-    (pure Catalyst: one dot product per centroid, array_position of the
-    max — at scale the cell is a partition key)."""
-    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = _norm(cast_vec)
-    sims = F.array(*[
-        _dot(cast_vec, F.array(*[F.lit(float(x)) for x in c])) / norm
-        for c in centroids
-    ])
-    cell = F.array_position(sims, F.array_max(sims)) - 1
-    return embeddings.select(id_col, vec_col, cell.cast("int").alias("cell"))
+    (at scale the cell is a partition key).  Two physical strategies,
+    same assignment:
+
+    - ``n_cells <= max_inline_cells``: pure Catalyst — one
+      higher-order-function dot per centroid, ``array_position`` of the
+      max; whole-stage codegens, zero Python.
+    - larger cell counts: ONE numpy matmul per Arrow batch inside a
+      pandas UDF.  Inlining N centroid dots builds an O(N*dim)
+      generated expression tree — the measured ~10x-slower failure
+      mode that already hit inlined LSH planes (see
+      :func:`lsh_multi_assign`); at n_cells=256 the matmul path is the
+      only sane plan.
+
+    Ties (exactly equal similarities) resolve to the FIRST maximal cell
+    on both paths (``array_position`` and ``np.argmax`` both take the
+    first hit); the parity test pins agreement on real data.
+    """
+    if len(centroids) <= max_inline_cells:
+        cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = _norm(cast_vec)
+        sims = F.array(*[
+            _dot(cast_vec, F.array(*[F.lit(float(x)) for x in c])) / norm
+            for c in centroids
+        ])
+        cell = F.array_position(sims, F.array_max(sims)) - 1
+        return embeddings.select(id_col, vec_col,
+                                 cell.cast("int").alias("cell"))
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not len(X):
+            return pd.Series([], dtype="int32")
+        sims = X @ C.T                       # (n, n_cells), one BLAS call
+        sims /= np.sqrt((X * X).sum(axis=1))[:, None]
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return embeddings.select(id_col, vec_col,
+                             cell_udf(vec_col).alias("cell"))
 
 
 def ivf_topk(embeddings: DataFrame, probe: list[float],

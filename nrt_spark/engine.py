@@ -268,10 +268,14 @@ class NrtEngine:
             # pyarrow field-not-found inside a Spark task
             import pyarrow.parquet as pq
 
-            schema_cols = set(
-                pq.read_schema(
-                    next(Path(tokens_path).glob("bucket=*/*.parquet"))
-                ).names)
+            sample = next(iter(Path(tokens_path).glob("bucket=*/*.parquet")),
+                          None)
+            if sample is None:
+                raise FileNotFoundError(
+                    f"no bucketed parquet files under {tokens_path} "
+                    "(expected bucket=*/...parquet from "
+                    "write_tokens_bucketed)")
+            schema_cols = set(pq.read_schema(sample).names)
             if not {"green_tokens", "swir_tokens"} <= schema_cols:
                 raise ValueError(
                     "CCDC_RIRLS screen requires green_tokens and "

@@ -21,6 +21,8 @@ the decoded token series.  Design:
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 
@@ -147,8 +149,64 @@ def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
        .parquet(f"{base_path}/tier={tier}"))
 
 
+def _upsert_paths(tier_path: Path) -> tuple[Path, Path]:
+    """(staging dir, manifest file) for upsert_tier's staged commit —
+    both dot-prefixed so Spark partition discovery and this module's
+    ``period=*`` globs never see in-flight state."""
+    return tier_path / ".upsert_stage", tier_path / ".upsert_manifest.json"
+
+
+def recover_tier(base_path: str, tier: str) -> str:
+    """Crash recovery for :func:`upsert_tier`'s staged commit; safe (and
+    cheap) to call any time — :func:`upsert_tier` runs it on entry.
+
+    The commit protocol makes every crash land in one of two states:
+
+    - **manifest present** → the publish never committed.  Roll BACK:
+      every period is restored from its ``.period=P.old`` backup (kept
+      until commit, so rollback is always possible), periods that did
+      not pre-exist are deleted, staging is discarded.  The table is
+      byte-identical to before the upsert and the caller's retry
+      re-applies the delta exactly once.
+    - **manifest absent** → either nothing was in flight, or the upsert
+      committed and crashed during cleanup.  Discard stale staging /
+      backups; the live table is correct.
+
+    Returns "clean", "rolled_back", or "cleaned" (post-commit debris).
+    """
+    tier_path = Path(base_path) / f"tier={tier}"
+    staging, manifest = _upsert_paths(tier_path)
+    if manifest.exists():
+        entries = json.loads(manifest.read_text())["periods"]
+        for period, existed in entries.items():
+            live = tier_path / f"period={period}"
+            backup = tier_path / f".period={period}.old"
+            if backup.exists():
+                if live.exists():
+                    shutil.rmtree(live)
+                backup.rename(live)
+            elif not existed and live.exists():
+                # new period already swapped in (no backup to restore)
+                shutil.rmtree(live)
+        if staging.exists():
+            shutil.rmtree(staging)
+        manifest.unlink()                  # last: re-entrant until here
+        return "rolled_back"
+    debris = False
+    if staging.exists():                   # died before the manifest
+        shutil.rmtree(staging)
+        debris = True
+    for backup in tier_path.glob(".period=*.old"):
+        # backups without a manifest ⇒ the commit happened (manifest
+        # removal IS the commit point) and we died during cleanup
+        shutil.rmtree(backup)
+        debris = True
+    return "cleaned" if debris else "clean"
+
+
 def upsert_tier(spark, base_path: str, tier: str,
-                delta_long: DataFrame) -> dict:
+                delta_long: DataFrame,
+                commit_token: "Path | str | None" = None) -> dict:
     """Incrementally fold late/new observations into a written tier —
     the continuous-aggregate maintenance step: no raw re-scan, no full
     rewrite.
@@ -163,12 +221,36 @@ def upsert_tier(spark, base_path: str, tier: str,
 
     Scale shape: the delta's calendar periods select the affected
     partitions; only THOSE are read, merged (one shuffle on
-    (doc_id, bucket_start)) and rewritten via dynamic partition
-    overwrite — cost ∝ touched periods, not table size.  On Iceberg
-    this is MERGE INTO with partition predicates.
+    (doc_id, bucket_start)) and staged — cost ∝ touched periods, not
+    table size.  On Iceberg this is MERGE INTO with partition
+    predicates.
+
+    Commit protocol (plain parquet): the merged periods are written to a
+    dot-prefixed staging directory, a manifest records the touched
+    periods, each period is published by rename with its previous
+    content kept as a backup, and the atomic removal of the manifest is
+    the commit point (the same staged-swap idea
+    :func:`compact_partition` uses, extended with rollback so an
+    ADDITIVE operation is never half-applied).  A crash anywhere is
+    repaired by :func:`recover_tier`: before the commit point the table
+    rolls back to its exact prior state (the retry re-applies the delta
+    once); after it, only debris is removed.  ``commit_token``, if
+    given, is a marker file path that the commit point atomically
+    creates (the manifest is renamed onto it): token exists ⇔ the merge
+    committed, which is what makes the streaming sink's redelivery
+    ledger exactly-once on plain parquet.
 
     Returns {"periods": [...], "buckets_before": n, "buckets_after": m}.
     """
+    if "://" in base_path:
+        raise ValueError(
+            "upsert_tier drives local/shared-filesystem layouts; object "
+            "stores need the Iceberg MERGE INTO path (catalog.py)")
+    # repair any crashed previous upsert BEFORE reading the table or
+    # deciding create-vs-merge — a rolled-back table is then exactly
+    # the pre-crash committed state
+    recover_tier(base_path, tier)
+    token = Path(commit_token) if commit_token is not None else None
     delta = rollup_raw(delta_long, tier, with_last_ts=True) \
         .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
         .persist()
@@ -176,11 +258,10 @@ def upsert_tier(spark, base_path: str, tier: str,
                      delta.select("period").distinct().collect())
     if not periods:
         delta.unpersist()
+        if token is not None:
+            token.parent.mkdir(parents=True, exist_ok=True)
+            token.touch()
         return {"periods": [], "buckets_before": 0, "buckets_after": 0}
-    if "://" in base_path:
-        raise ValueError(
-            "upsert_tier drives local/shared-filesystem layouts; object "
-            "stores need the Iceberg MERGE INTO path (catalog.py)")
     tier_path = f"{base_path}/tier={tier}"
     # create-vs-merge discriminator: COMMITTED content, not bare dir
     # existence — a crashed bootstrap leaves the dir with only
@@ -191,6 +272,9 @@ def upsert_tier(spark, base_path: str, tier: str,
          .parquet(tier_path))
         n = delta.count()
         delta.unpersist()
+        if token is not None:
+            token.parent.mkdir(parents=True, exist_ok=True)
+            token.touch()
         return {"periods": periods, "buckets_before": 0,
                 "buckets_after": n}
     existing = (spark.read.option("basePath", tier_path).parquet(tier_path)
@@ -232,27 +316,64 @@ def upsert_tier(spark, base_path: str, tier: str,
                                 F.col("vsum") / F.col("n"))) \
      .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
      .select(*ROLLUP_COLS, "last_ts", "period")
-    # materialize BEFORE overwriting: merged's lineage reads the very
-    # partitions the write replaces, so cut it (localCheckpoint is
-    # eager) — otherwise a task retry during the overwrite could
-    # re-list source files that the commit has already deleted.  On
-    # Iceberg this whole step is an atomic MERGE INTO; on plain parquet
-    # a crash inside the commit itself can still lose the touched
-    # periods (same window compact_partition closes with its staged
-    # swap), so run upsert batches under the resumable-job lineage.
-    merged = merged.localCheckpoint()
-    buckets_after = merged.count()
+    # staged commit: the merge is written NEXT TO the live partitions,
+    # so its lineage can safely re-read them on task retry (no
+    # localCheckpoint needed) and a crash during the write leaves the
+    # table untouched
+    tp = Path(tier_path)
+    staging, manifest = _upsert_paths(tp)
+    merged.write.mode("overwrite").partitionBy("period") \
+        .parquet(str(staging))
+    # row count from the staged footers: metadata-only, no second job
+    import pyarrow.parquet as pq
+    buckets_after = sum(pq.ParquetFile(f).metadata.num_rows
+                        for f in staging.glob("period=*/*.parquet"))
     delta.unpersist()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # manifest = the in-flight record recover_tier rolls back from;
+    # written atomically (tmp + rename) AFTER staging is complete
+    entries = {p: (tp / f"period={p}").exists() for p in periods}
+    tmp_manifest = tp / ".upsert_manifest.tmp"
+    tmp_manifest.write_text(json.dumps({"periods": entries}))
+    os.replace(tmp_manifest, manifest)
+    for period in periods:
+        live = tp / f"period={period}"
+        backup = tp / f".period={period}.old"
+        if live.exists():
+            live.rename(backup)            # kept until the commit point
+        staged_p = staging / f"period={period}"
+        if not staged_p.exists():          # defensive: merged always
+            raise RuntimeError(            # covers every delta period
+                f"staged partition missing: {staged_p}")
+        staged_p.rename(live)
+    # COMMIT POINT: atomically retire the manifest.  With a
+    # commit_token the manifest BECOMES the token (one rename), so
+    # token-exists ⇔ merge-committed with no window between them.
+    if token is not None:
+        token.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.replace(manifest, token)
+        except OSError:
+            # token on a different filesystem: commit first, then mark.
+            # A crash between the two re-applies this one batch
+            # (at-least-once) — never data loss, which is why the
+            # commit must precede the token here.  Co-locate tokens
+            # with the tier (the streaming sink does) to get the
+            # atomic single-rename path instead.
+            manifest.unlink()
+            token.touch()
+    else:
+        manifest.unlink()
+    # cleanup is post-commit and best-effort: the merge IS committed,
+    # so a cleanup failure must not fail the batch (a lineage/ledger
+    # retry would double-apply it); recover_tier sweeps the debris
     try:
-        # dynamic mode replaces ONLY the period partitions present in
-        # the merged frame — untouched months keep their files
-        merged.write.mode("overwrite").partitionBy("period") \
-            .parquet(tier_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging)
+        for period in periods:
+            backup = tp / f".period={period}.old"
+            if backup.exists():
+                shutil.rmtree(backup)
+    except OSError:
+        pass
     return {"periods": periods, "buckets_before": buckets_before,
             "buckets_after": buckets_after}
 

@@ -316,9 +316,13 @@ def _make_upsert_sink(base_path: str, tier: str, checkpoint: str):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        upsert_tier(spark, base_path, tier, batch_df)
-        ledger.mkdir(parents=True, exist_ok=True)
-        marker.touch()
+        # the marker is the upsert's OWN commit token: the merge's
+        # atomic commit point creates it (one rename on the same
+        # filesystem), so marker-exists ⇔ batch-merged with no torn
+        # window between commit and marker; a crash mid-merge rolls
+        # back (recover_tier) and the redelivered batch re-applies once
+        upsert_tier(spark, base_path, tier, batch_df,
+                    commit_token=marker)
 
     return sink
 
@@ -338,10 +342,13 @@ def rollup_stream_upsert(obs_stream, base_path: str, tier: str,
     must be stable for the stream's lifetime: the checkpoint's offset
     log is what makes batch ids meaningful, and re-ingesting an
     already-merged source under a FRESH checkpoint double-counts by
-    design (as with any additive sink).  Caveat (plain parquet): a
-    crash between the upsert's commit and the marker write re-applies
-    that one batch on restart; on Iceberg the same sink becomes
-    exactly-once by folding the batch id into an atomic MERGE INTO.
+    design (as with any additive sink).  The marker doubles as the
+    upsert's ``commit_token``: the merge's atomic commit point creates
+    it in one same-filesystem rename, so there is no window where the
+    merge committed but the marker is missing (or vice versa) — a
+    crash anywhere either rolls the table back (batch re-applies once
+    on redelivery) or left the marker (batch skipped).  Exactly-once
+    on plain parquet; Iceberg's MERGE INTO is the catalog-native form.
     State here is in the TABLE, not the stream — no watermark needed,
     arbitrarily late data merges exactly (last_ts decides ``last``).
 

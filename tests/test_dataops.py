@@ -309,3 +309,32 @@ def test_ann_recall_on_planted_neighbors(spark):
     ivf_ids = {r["vec_id"]
                for r in ivf_topk(emb, p, C, k=6, nprobe=3).collect()}
     assert set(planted) <= ivf_ids, f"IVF missed {set(planted) - ivf_ids}"
+
+
+def test_ivf_assign_matmul_path_matches_catalyst(spark):
+    """The two ivf_assign strategies — inlined Catalyst dots (small
+    n_cells) and the pandas-UDF matmul (large n_cells, where N inlined
+    dots would blow up the generated expression tree) — agree on every
+    cell assignment, at both a small and a large trained cell count."""
+    import numpy as np
+
+    from nrt_spark.dataops.simsearch import ivf_assign, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_cells in (16, 64):
+        C = ivf_train(emb, n_cells=n_cells, iters=5)
+        catalyst = ivf_assign(emb, C, max_inline_cells=10_000) \
+            .select("vec_id", "cell").toPandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        matmul = ivf_assign(emb, C, max_inline_cells=0) \
+            .select("vec_id", "cell").toPandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            catalyst["cell"].to_numpy(), matmul["cell"].to_numpy(),
+            err_msg=f"n_cells={n_cells}")
+        # every cell non-empty would be too strong for tiny data; but
+        # assignments must cover more than one cell for the parity to
+        # mean anything
+        assert catalyst["cell"].nunique() > 1
+    # default threshold routes n_cells=64 to the matmul path
+    assert len(C) == 64 and 64 > 32

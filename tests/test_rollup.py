@@ -357,3 +357,128 @@ def test_upsert_tier_any_arrival_order(spark, long_df, tmp_path, order):
     np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
                                want["vsum"].to_numpy(dtype=float),
                                rtol=1e-12)
+
+
+def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch):
+    """Crash the staged upsert commit at every phase and show the table
+    either rolls back exactly (pre-commit kills — the retry then
+    re-applies the delta once) or only leaves sweepable debris
+    (post-commit cleanup kill).  Closes the round-3 crash window where
+    a kill inside the dynamic-partition-overwrite commit could lose the
+    touched periods."""
+    import os as _os
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from nrt_spark.rollup import (recover_tier, rollup_raw, upsert_tier,
+                                  write_tier)
+
+    split_ts = long_df.selectExpr(
+        "percentile(unix_seconds(ts), 0.9) AS c").first()["c"]
+    early = long_df.filter(F.unix_seconds("ts") <= split_ts)
+    late = long_df.filter(F.unix_seconds("ts") > split_ts).cache()
+    assert late.count() > 0
+    base = str(tmp_path)
+    write_tier(rollup_raw(early, "day", with_last_ts=True), base, "day")
+
+    def snapshot():
+        return (spark.read.parquet(f"{base}/tier=day")
+                .drop("period").toPandas()
+                .sort_values(["doc_id", "bucket_start"])
+                .reset_index(drop=True))
+
+    pre = snapshot()
+
+    # phase A: die after staging, before the manifest exists
+    real_replace = _os.replace
+
+    def boom_replace(src, dst, *a, **k):
+        if str(dst).endswith(".upsert_manifest.json"):
+            raise RuntimeError("injected: pre-manifest kill")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(_os, "replace", boom_replace)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_tier(spark, base, "day", late)
+    monkeypatch.setattr(_os, "replace", real_replace)
+    assert recover_tier(base, "day") == "cleaned"   # staging discarded
+    pd.testing.assert_frame_equal(snapshot(), pre)  # no lost periods
+    assert recover_tier(base, "day") == "clean"     # idempotent
+
+    # phase B: die between the per-period publish renames (every
+    # injection point up to the first two periods' swaps)
+    real_rename = Path.rename
+    for kill_at in (1, 2, 3):
+        calls = {"n": 0}
+
+        def boom_rename(self, target, _k=kill_at):
+            if str(self).startswith(base):
+                calls["n"] += 1
+                if calls["n"] == _k:
+                    raise RuntimeError("injected: mid-publish kill")
+            return real_rename(self, target)
+
+        monkeypatch.setattr(Path, "rename", boom_rename)
+        with pytest.raises(RuntimeError, match="injected"):
+            upsert_tier(spark, base, "day", late)
+        monkeypatch.setattr(Path, "rename", real_rename)
+        # manifest survived the kill -> full rollback to pre-state
+        assert (Path(base) / "tier=day" / ".upsert_manifest.json").exists()
+        assert recover_tier(base, "day") == "rolled_back"
+        pd.testing.assert_frame_equal(snapshot(), pre)
+
+    # a crashed upsert's retry ALSO self-recovers (recover_tier runs on
+    # entry): kill once more, then retry without manual recovery
+    calls = {"n": 0}
+
+    def boom_once(self, target):
+        if str(self).startswith(base):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(Path, "rename", boom_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_tier(spark, base, "day", late)
+    monkeypatch.setattr(Path, "rename", real_rename)
+    stats = upsert_tier(spark, base, "day", late)   # retry, no manual fix
+    assert stats["periods"]
+
+    # phase C (fresh tier dir): die during post-commit cleanup -> the
+    # batch reports success, only sweepable debris remains
+    import shutil as _shutil
+
+    base2 = str(tmp_path / "c")
+    write_tier(rollup_raw(early, "day", with_last_ts=True), base2, "day")
+    real_rmtree = _shutil.rmtree
+
+    def boom_rmtree(p, *a, **k):
+        if str(p).endswith(".upsert_stage"):
+            raise OSError("injected: cleanup kill")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(_shutil, "rmtree", boom_rmtree)
+    stats2 = upsert_tier(spark, base2, "day", late)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    assert stats2["periods"]
+    assert (Path(base2) / "tier=day" / ".upsert_stage").exists()
+    assert recover_tier(base2, "day") == "cleaned"  # sweeps the debris
+    got2 = (spark.read.parquet(f"{base2}/tier=day")
+            .drop("period", "last_ts").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))
+
+    got = snapshot().drop(columns="last_ts")
+    want = (rollup_raw(long_df, "day").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    pd.testing.assert_frame_equal(got2, got)        # phase-C tier agrees
+    late.unpersist()

@@ -322,3 +322,71 @@ def test_rollup_stream_upsert_matches_batch(spark, tmp_path):
     sink(redelivered, markers[-1] + 1)      # NEW id -> merges (additive)
     after = spark.read.parquet(str(out / "tier=day")).toPandas()["n"].sum()
     assert after == before + redelivered.filter("value IS NOT NULL").count()
+
+
+def test_upsert_sink_crash_is_exactly_once(spark, tmp_path, monkeypatch):
+    """The redelivery marker is the upsert's own commit token (created
+    by the merge's atomic commit rename): a kill mid-merge leaves no
+    marker and a rolled-back table, so the redelivered batch applies
+    exactly once — no torn batch-vs-marker window on plain parquet."""
+    import hashlib
+    from pathlib import Path
+
+    import numpy as np
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.rollup import recover_tier, rollup_raw
+    from nrt_spark.streaming import _make_upsert_sink
+    from nrt_spark.tokens import decode_long
+
+    long_df = decode_long(generate_tokens(spark, 15, n_obs=40)).cache()
+    b0 = long_df.filter("ts < '2015-04-01'")
+    b1 = long_df.filter("ts >= '2015-04-01'")
+    out = tmp_path / "tiers"
+    ck = str(tmp_path / "ck")
+    sink = _make_upsert_sink(str(out), "day", ck)
+    ns = hashlib.sha256(ck.encode()).hexdigest()[:12]
+    ledger = out / "tier=day" / "_batches" / ns
+
+    sink(b0, 0)                                     # bootstrap batch
+    assert (ledger / "0.done").exists()
+
+    # kill batch 1 mid-publish (first rename inside the tier dir)
+    real_rename = Path.rename
+    calls = {"n": 0}
+
+    def boom(self, target):
+        if str(self).startswith(str(out)):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected kill")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(Path, "rename", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        sink(b1, 1)
+    monkeypatch.setattr(Path, "rename", real_rename)
+    # commit never happened: no marker, manifest still present
+    assert not (ledger / "1.done").exists()
+    assert (out / "tier=day" / ".upsert_manifest.json").exists()
+
+    sink(b1, 1)                                     # redelivery
+    assert (ledger / "1.done").exists()
+    sink(b1, 1)                                     # second redelivery: skip
+
+    got = (spark.read.parquet(str(out / "tier=day"))
+           .drop("period", "last_ts").toPandas()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "day").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    assert recover_tier(str(out), "day") == "clean"
+    long_df.unpersist()
