@@ -35,14 +35,8 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-#: the most recent cache_raw shingle relation — unpersisted on the next
-#: cache_raw call so repeated miner invocations (bench loops, the driver
-#: harness) pin at most ONE copy of the largest intermediate in memory
-_last_raw_cache = None
-
-
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
-                  cache_raw: bool = False,
+                  materialize: bool = False,
                   broadcast_hot: bool = True) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
 
@@ -54,15 +48,17 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     shuffle of the full shingle relation; set it False when the corpus
     is large enough that |rows|/max_df could exceed broadcast limits
     (~10^8 entries) — the cap then falls back to a shuffled anti-join.
-    ``cache_raw`` persists the pre-cap relation so the hot-list count
-    and the capped output don't each recompute the explode+distinct
-    (every capped caller is at least two-pass — the hot-list count
-    plus the capped output — so jaccard AND minhash both use it).
-    Only the most recent cache_raw
-    relation stays persisted; earlier ones are released.
-    """
-    global _last_raw_cache
 
+    ``materialize`` eagerly ``localCheckpoint``s the pre-cap relation so
+    multi-pass consumers (the hot-list count, a size aggregate, both
+    sides of a pair self-join) scan ONE materialized copy instead of
+    re-running the explode+distinct per consumer.  The storage is
+    call-scoped: the blocks belong to the checkpointed plan and Spark's
+    ContextCleaner reclaims them once the caller's result goes out of
+    scope — no module-level cache to evict another pipeline's relation
+    mid-query (the round-3 design did exactly that), and concurrent
+    jobs in one session each keep their own copy.
+    """
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
     # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
@@ -76,18 +72,9 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
             f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
             f"ELSE array() END")).alias("shingle")
     ).distinct()
+    if materialize:
+        sh = sh.localCheckpoint()
     if max_df is not None:
-        if cache_raw:
-            if _last_raw_cache is not None:
-                try:
-                    _last_raw_cache.unpersist()
-                except Exception:
-                    # the previous relation may belong to a stopped
-                    # SparkSession (e.g. a benchmark cycling sessions);
-                    # its cache died with that session — nothing to free
-                    pass
-            sh = sh.persist()
-            _last_raw_cache = sh
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_df).select("shingle"))
         if broadcast_hot:
@@ -105,12 +92,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     |common| / (|a| + |b| - |common|).  Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
     """
-    # persist the PRE-cap shingles once: the hot-list count, the size
-    # agg and both sides of the pair join all derive from one cached
-    # relation + a broadcast map-side cap filter (round-2 regression:
-    # the explode+distinct subtree was computed twice, once under the
-    # hot-list groupBy and once under the anti-join)
-    sh = word_shingles(docs, n=n, max_df=max_df, cache_raw=True)
+    # materialize the PRE-cap shingles once: the hot-list count, the
+    # size agg and both sides of the pair join all scan one
+    # checkpointed relation + a broadcast map-side cap filter (round-2
+    # regression: the explode+distinct subtree was computed twice) —
+    # and with max_df=None the three consumers still share it
+    sh = word_shingles(docs, n=n, max_df=max_df, materialize=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -140,10 +127,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     Salted md5 gives ``num_hashes`` independent hash families that any
     engine reproduces exactly.  Output: (doc_id, sig array<string>).
     """
-    # cache the pre-cap shingles: the hot-list count and the capped
-    # output would otherwise each recompute the explode+distinct
+    # materialize the pre-cap shingles when capped: the hot-list count
+    # and the capped output would otherwise each recompute the
+    # explode+distinct (uncapped, the single consumer needs no copy)
     sh = word_shingles(docs, n=n, max_df=max_df,
-                       cache_raw=max_df is not None)
+                       materialize=max_df is not None)
     aggs = [F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
             .alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
