@@ -338,3 +338,61 @@ def test_ivf_assign_matmul_path_matches_catalyst(spark):
         assert catalyst["cell"].nunique() > 1
     # default threshold routes n_cells=64 to the matmul path
     assert len(C) == 64 and 64 > 32
+
+
+def test_ann_oracle_sign_margins():
+    """Guard for the cross-engine ANN oracles' latent fragility: they
+    compare sign-threshold (LSH plane dots) and argmax (IVF cell)
+    decisions computed via numpy BLAS matmuls on the Spark side against
+    DuckDB's sequentially-summed list_dot_product.  A dot within float
+    rounding error (~dim*eps ≈ 1e-14) of the threshold/tie could flip a
+    bucket or cell between engines.  This test fails LOUDLY with the
+    offending vector if the driver data + seeds ever produce a margin
+    below 1e-9 — turning a would-be mysterious hash mismatch into a
+    diagnosable data-change signal."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nrt_spark.dataops import simsearch as SS
+    from nrt_spark.oracle import ivf_ann_oracle
+
+    sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in tbl["embedding"]])
+    dim, eps = X.shape[1], 1e-9
+
+    # every plane-dot used by embedding_neardup_lsh (16x4) and
+    # lsh_topk (8x6) — including the probe vector's own dots
+    probe = X[0]
+    for n_planes, n_tables, seed in ((4, 16, "nrt"), (6, 8, "nrt")):
+        P = np.concatenate([SS.hyperplanes(dim, n_planes, f"{seed}-{t}")
+                            for t in range(n_tables)])
+        dots = X @ P.T
+        worst = np.abs(dots).min()
+        assert worst > eps, (
+            f"LSH sign margin {worst:.3e} below {eps} for planes "
+            f"(b={n_planes}, T={n_tables}, seed={seed}) at vector "
+            f"{tbl['vec_id'][np.abs(dots).min(axis=1).argmin()]}: the "
+            "DuckDB oracle's sequential dot could flip this bucket")
+        pdots = np.abs(probe @ P.T).min()
+        assert pdots > eps, "probe bucket within sign-flip margin"
+    # single-table lsh_topk/lsh_assign path (seed without -t suffix)
+    P1 = SS.hyperplanes(dim, 8, "nrt")
+    assert np.abs(X @ P1.T).min() > eps
+
+    # IVF: argmax tie margins for cell assignment + the probe's
+    # nprobe-th cell cut
+    C, pr, cells = ivf_ann_oracle(sf_dir, n_cells=16, iters=8, nprobe=6)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ np.asarray(C).T
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    margin = (top2[:, 1] - top2[:, 0]).min()
+    assert margin > eps, (
+        f"IVF argmax margin {margin:.3e} below {eps}: engines could "
+        "assign different cells")
+    psims = np.sort(np.asarray(C) @ (pr / np.linalg.norm(pr)))[::-1]
+    assert psims[5] - psims[6] > eps, "nprobe cut within tie margin"
