@@ -332,3 +332,55 @@ def test_bucketed_monitor_idempotent(spark, tokens, tmp_path):
     for col in ["mask", "process", "detection_date", "last_day", "n"]:
         np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy(),
                                       err_msg=col)
+
+
+def test_bucketed_monitor_under_extreme_source_skew(spark, tmp_path):
+    """The engine.py scale claim under stress: with 95% of documents in
+    ONE hot source (worse than zipf s->1), hash-bucketing on doc_id
+    still yields near-uniform bucket sizes — source skew never reaches
+    the shuffle/group key — and the bucketed fit+monitor runs to
+    completion with every doc reported, matching the cogrouped path's
+    mask counts."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from nrt_spark.engine import write_tokens_bucketed
+
+    n_docs, buckets = 2000, 16
+    toks = generate_tokens(spark, n_docs, n_obs=N_OBS)
+    # crush the source distribution: ~95% land on src_hot
+    toks = toks.withColumn(
+        "source",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(20)) != 0,
+               F.lit("src_hot")).otherwise(F.col("source"))).cache()
+    src = {r["source"]: r["cnt"] for r in
+           toks.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert max(src.values()) / n_docs > 0.9          # skew is real
+
+    path = str(tmp_path / "tok_skew")
+    write_tokens_bucketed(toks, path, num_buckets=buckets)
+    sizes = {}
+    for d in Path(path).glob("bucket=*"):
+        b = int(d.name.split("=")[1])
+        sizes[b] = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in d.glob("*.parquet"))
+    assert sum(sizes.values()) == n_docs
+    mean = n_docs / buckets
+    # binomial(n_docs, 1/buckets): mean 125, sigma ~11; 1.5x mean is
+    # >5 sigma — would only trip if source skew leaked into the key
+    assert max(sizes.values()) < 1.5 * mean, sizes
+    assert min(sizes.values()) > 0.5 * mean, sizes
+
+    eng = NrtEngine(spark, "cusum", num_buckets=buckets, trend=False,
+                    method="OLS")
+    state = eng.fit_bucketed(path, history_end=HISTORY_END)
+    sp = str(tmp_path / "st_skew")
+    eng.save_state(state, sp)
+    got = eng.monitor_bucketed(sp, path).groupBy("mask").count().collect()
+    got = {r["mask"]: r["count"] for r in got}
+    want = (eng.monitor(eng.fit(toks, history_end=HISTORY_END), toks)
+            .groupBy("mask").count().collect())
+    want = {r["mask"]: r["count"] for r in want}
+    assert got == want and sum(got.values()) == n_docs
+    toks.unpersist()
