@@ -349,3 +349,30 @@ def multimodal_features_oracle(sf_dir: str, dim: int = 8) -> pd.DataFrame:
             q, rounding=decimal.ROUND_HALF_UP))
         out.append((str(doc_id), len(payload), f0r))
     return pd.DataFrame(out, columns=["media_id", "n_bytes", "f0"])
+
+
+def retention_oracle(n_docs: int = 60, n_obs: int = 60,
+                     keep_after: str = "2015-06") -> pd.DataFrame:
+    """Expected per-period retention/compaction certification rows.
+
+    Every grid position is a day bucket for every doc (gap tokens still
+    produce an n=0 bucket row), so buckets per calendar period =
+    n_docs x (grid days falling in that month); expiry drops exactly
+    the periods lexicographically below ``keep_after``; compaction at a
+    large target leaves one parquet file per surviving period.
+    """
+    from collections import Counter
+
+    from nrt_spark.tokens import CADENCE_DAYS, EPOCH_DAY
+
+    days = EPOCH_DAY + CADENCE_DAYS * np.arange(n_obs)
+    cnt = Counter(str(np.datetime64(int(d), "D"))[:7] for d in days)
+    rows = []
+    for p in sorted(cnt):
+        b = n_docs * cnt[p]
+        dropped = p < keep_after
+        rows.append((p, b, 0 if dropped else b, 0 if dropped else 1,
+                     dropped))
+    return pd.DataFrame(rows, columns=["period", "buckets_before",
+                                       "buckets_after", "files_after",
+                                       "dropped"])

@@ -89,7 +89,7 @@ def pricing_summary(spark, sf_dir):
     )
 
 
-@q("top_revenue_orders", """
+@sub("top_revenue_orders", """
 SELECT o_orderkey, o_orderpriority, revenue_e4
 FROM (
   SELECT o.o_orderkey, o.o_orderpriority,
@@ -151,7 +151,7 @@ def anti_join_customers(spark, sf_dir):
             .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
 
 
-@q("region_revenue", """
+@sub("region_revenue", """
 SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
        count(*) AS n_orders
 FROM orders o
@@ -1080,7 +1080,7 @@ def sessionize_events(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
-@q("split_sample_docs", """
+@sub("split_sample_docs", """
 SELECT source, split, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM (SELECT source, doc_id,
@@ -1107,7 +1107,7 @@ def split_sample_docs(spark, sf_dir):
                  F.sum("doc_id").alias("id_checksum")))
 
 
-@q("top_terms_by_source", r"""
+@sub("top_terms_by_source", r"""
 WITH words AS (
   SELECT source,
          unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
@@ -2464,6 +2464,124 @@ def token_count_suite(spark, sf_dir):
     )
 
 
+@q("revenue_suite", f"""
+SELECT 'topk' AS part, CAST(o_orderkey AS VARCHAR) AS k1,
+       o_orderpriority AS k2, CAST(revenue_e4 AS DOUBLE) AS v, {_NB} AS n
+FROM ({SUB_SQL['top_revenue_orders']}) t
+UNION ALL
+SELECT 'region' AS part, region AS k1, {_NS} AS k2, revenue AS v,
+       n_orders AS n
+FROM ({SUB_SQL['region_revenue']}) r
+""")
+def revenue_suite(spark, sf_dir):
+    """Join+agg+deterministic-top-k and the broadcast star join in one
+    driver row (round-4 consolidation; the standalone functions stay
+    the bench's per-query timing targets)."""
+    tk = top_revenue_orders(spark, sf_dir)
+    rg = region_revenue(spark, sf_dir)
+    return (
+        tk.select(F.lit("topk").alias("part"),
+                  F.col("o_orderkey").cast("string").alias("k1"),
+                  F.col("o_orderpriority").alias("k2"),
+                  F.col("revenue_e4").cast("double").alias("v"),
+                  _null("long").alias("n"))
+        .unionAll(rg.select(F.lit("region").alias("part"),
+                            F.col("region").alias("k1"),
+                            _null("string").alias("k2"),
+                            F.col("revenue").alias("v"),
+                            F.col("n_orders").alias("n")))
+    )
+
+
+@q("corpus_profile_suite", f"""
+SELECT 'split' AS part, source AS k1, split AS k2, {_NS} AS term,
+       n_docs AS n, id_checksum AS checksum
+FROM ({SUB_SQL['split_sample_docs']}) s
+UNION ALL
+SELECT 'topterms' AS part, source AS k1, CAST(rk AS VARCHAR) AS k2,
+       term, n, {_NB} AS checksum
+FROM ({SUB_SQL['top_terms_by_source']}) t
+""")
+def corpus_profile_suite(spark, sf_dir):
+    """Reshard-stable train/val split + per-source top-terms vocabulary
+    profile in one driver row (round-4 consolidation)."""
+    sp = split_sample_docs(spark, sf_dir)
+    tt = top_terms_by_source(spark, sf_dir)
+    return (
+        sp.select(F.lit("split").alias("part"),
+                  F.col("source").alias("k1"), F.col("split").alias("k2"),
+                  _null("string").alias("term"),
+                  F.col("n_docs").alias("n"),
+                  F.col("id_checksum").cast("long").alias("checksum"))
+        .unionAll(tt.select(F.lit("topterms").alias("part"),
+                            F.col("source").alias("k1"),
+                            F.col("rk").cast("string").alias("k2"),
+                            F.col("term"), F.col("n").alias("n"),
+                            _null("long").alias("checksum")))
+    )
+
+
+def _retention_sql() -> str:
+    from nrt_spark.oracle import retention_oracle
+
+    pdf = retention_oracle(n_docs=60, n_obs=60, keep_after="2015-06")
+    rows = ",\n".join(
+        f"('{p}', {int(b)}, {int(a)}, {int(fl)}, "
+        f"{'TRUE' if d else 'FALSE'})"
+        for p, b, a, fl, d in pdf.itertuples(index=False))
+    return ("SELECT period, CAST(buckets_before AS BIGINT) AS "
+            "buckets_before, CAST(buckets_after AS BIGINT) AS "
+            "buckets_after, CAST(files_after AS BIGINT) AS files_after, "
+            "dropped FROM (VALUES\n" + rows +
+            "\n) t(period, buckets_before, buckets_after, files_after, "
+            "dropped)")
+
+
+@q("nrt_retention_certify", lambda: _retention_sql())
+def nrt_retention_certify(spark, sf_dir):
+    """Retention + compaction certification through the driver's gate:
+    materialize the day tier partitioned by period, compact every
+    period to its target file count, expire periods older than the
+    cutoff (a partition DROP, no rewrite — the parquet stand-in for
+    Iceberg expire_snapshots/DROP PARTITION), and report per-period
+    bucket counts before/after, surviving file counts, and the drop
+    decision.  The VALUES twin derives every number from the token
+    grid (5-day cadence: buckets per period = docs x grid days in that
+    month), so a mis-dropped partition, a compaction that loses rows,
+    or an expiry off-by-one on the period boundary all hash-mismatch."""
+    import tempfile
+    from pathlib import Path
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.rollup import (compact_tiers, expire_tier, rollup_raw,
+                                  write_tier)
+    from nrt_spark.tokens import decode_long
+
+    tmp = tempfile.mkdtemp(prefix="nrt_retention_")
+    day = rollup_raw(decode_long(generate_tokens(spark, 60, n_obs=60)),
+                     "day")
+    write_tier(day, tmp, "day")
+    compact_tiers(spark, tmp, target_mb=1024)       # -> 1 file/period
+    before = {r["period"]: r["cnt"] for r in
+              spark.read.parquet(f"{tmp}/tier=day")
+              .groupBy("period").agg(F.count("*").alias("cnt"))
+              .collect()}
+    dropped = {d.split("=", 1)[1]
+               for d in expire_tier(tmp, "day", keep_after="2015-06")}
+    after = {r["period"]: r["cnt"] for r in
+             spark.read.parquet(f"{tmp}/tier=day")
+             .groupBy("period").agg(F.count("*").alias("cnt"))
+             .collect()}
+    rows = []
+    for p in sorted(before):
+        files = len(list((Path(tmp) / "tier=day" / f"period={p}")
+                         .glob("*.parquet"))) if p not in dropped else 0
+        rows.append((p, before[p], after.get(p, 0), files, p in dropped))
+    return spark.createDataFrame(
+        rows, "period string, buckets_before long, buckets_after long, "
+              "files_after long, dropped boolean")
+
+
 # =========================================================================
 # Driver emission order: the correctness harness records the FIRST 50
 # entries of queries()/oracle_sql(), so the engine-specific flagships go
@@ -2476,12 +2594,13 @@ DRIVER_ORDER = [
     # engine flagships: monitor reports, state resume, tiers, codecs, ANN
     "nrt_ewma_report", "nrt_cusum_report", "nrt_mosum_report",
     "nrt_iqr_report", "nrt_ccdc_report", "nrt_incremental_report",
-    "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_gorilla_stats",
+    "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_retention_certify",
+    "nrt_gorilla_stats",
     "pack_token_sequences", "lsh_topk_embeddings", "ivf_topk_embeddings",
     "multimodal_features",
     # relational / time-series / training-data surface
-    "pricing_summary", "top_revenue_orders", "semi_anti_joins",
-    "region_revenue", "order_limit_setops", "agg_variants",
+    "pricing_summary", "revenue_suite", "semi_anti_joins",
+    "order_limit_setops", "agg_variants",
     "star_subquery_suite", "asof_join_clicks",
     "events_rollup_tiers", "events_gapfill_day", "events_process_values",
     "events_run_lengths", "events_scalar_stats", "bitmask_filter_events",
@@ -2490,7 +2609,7 @@ DRIVER_ORDER = [
     "minhash_lsh_pairs", "simhash_fingerprints", "dedup_clusters",
     "decontaminate_docs", "repetition_stats",
     "doc_lang_quality", "token_count_suite", "doc_fingerprints",
-    "tokenize_docs", "top_terms_by_source", "split_sample_docs",
+    "tokenize_docs", "corpus_profile_suite",
     "cosine_topk_embeddings", "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "token_roundtrip_invariant", "band_ratio_checksum",
