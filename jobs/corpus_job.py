@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-df", type=int, default=50)
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--num-shards", type=int, default=16)
+    ap.add_argument("--cc-telemetry", action="store_true",
+                    help="record connected-components per-round "
+                         "convergence (nodes/edges/changed counts) in "
+                         "the summary — one extra count per CC round")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -60,8 +64,10 @@ def main(argv=None) -> int:
     # materializes each stage to parquet so resume can skip it
     cur = docs
     funnel = {"input": n_in}
+    cc_stats: dict | None = {} if args.cc_telemetry else None
     for name, fn in C.stage_plan(min_quality=args.min_quality,
-                                 max_df=args.max_df):
+                                 max_df=args.max_df,
+                                 cc_telemetry=cc_stats):
         prev = cur
 
         def run(fn=fn, prev=prev, name=name):
@@ -91,6 +97,7 @@ def main(argv=None) -> int:
     print(json.dumps({
         "job_id": args.job_id,
         "funnel": funnel,
+        **({"cc": cc_stats} if cc_stats else {}),
         "packs": int(stats["packs"]),
         "shards": int(stats["shards"]),
         "real_tokens": int(stats["real_tokens"]),

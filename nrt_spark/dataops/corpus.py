@@ -46,12 +46,17 @@ def exact_keep(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def neardup_keep(docs: DataFrame, max_df: int = 50) -> DataFrame:
+def neardup_keep(docs: DataFrame, max_df: int = 50,
+                 cc_telemetry: dict | None = None) -> DataFrame:
     """Docs surviving near-dup clustering: mine LSH candidate pairs,
     resolve connected components, keep only each cluster's canonical
-    (minimum) member.  Non-clustered docs pass through untouched."""
+    (minimum) member.  Non-clustered docs pass through untouched.
+    ``cc_telemetry`` is passed through to
+    :func:`~nrt_spark.dataops.dedup.connected_components` (scale runs
+    record the per-round convergence there)."""
     pairs = D.minhash_lsh_pairs(docs, max_df=max_df)
-    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b",
+                                  telemetry=cc_telemetry)
     drop = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias("doc_id"))
     return docs.join(drop, "doc_id", "left_anti")
@@ -93,14 +98,15 @@ def _decontaminate_against_split(docs: DataFrame,
 
 
 def stage_plan(min_quality: float = 0.7, max_df: int = 50,
-               frac_val: int = 10):
+               frac_val: int = 10, cc_telemetry: dict | None = None):
     """The funnel, defined ONCE: ordered (name, docs -> docs) stages.
     Both :func:`build_corpus` (lazy, for tests) and jobs/corpus_job.py
     (materializing each stage for resume) iterate this same plan, so
     the certified path and the shipped path cannot drift."""
     return [
         ("exact_dedup", exact_keep),
-        ("neardup_dedup", lambda d: neardup_keep(d, max_df=max_df)),
+        ("neardup_dedup", lambda d: neardup_keep(
+            d, max_df=max_df, cc_telemetry=cc_telemetry)),
         ("decontaminated",
          lambda d: _decontaminate_against_split(d, frac_val)),
         ("quality_filtered",

@@ -189,7 +189,8 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 20,
+                         telemetry: dict | None = None) -> DataFrame:
     """Connected components by iterative min-label propagation —
     the dedup-clustering step that turns near-dup PAIRS into canonical
     groups (keep min doc per component, drop the rest).
@@ -203,6 +204,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     iterations.  Raises if the budget is exhausted before convergence
     (silent partial components would corrupt a dedup decision).
 
+    ``telemetry``, if given, is filled in place with
+    ``{"nodes", "edges", "rounds", "changed_per_round"}`` — the
+    per-round changed-label counts are the O(log diameter) convergence
+    evidence a scale run records (a full count per round instead of the
+    default limit(1) existence probe, so it is opt-in).
+
     Returns:
         (node, component) — component = min node id reachable.
     """
@@ -212,6 +219,9 @@ def connected_components(edges: DataFrame, src: str = "src",
            .distinct().localCheckpoint())
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node")).localCheckpoint())
+    if telemetry is not None:
+        telemetry.update(nodes=labels.count(), edges=sym.count() // 2,
+                         rounds=0, changed_per_round=[])
     for _ in range(max_iter):
         nb_min = (sym.join(labels.select(F.col("node").alias("b"),
                                          F.col("component").alias("nc")),
@@ -238,8 +248,13 @@ def connected_components(edges: DataFrame, src: str = "src",
                                F.coalesce("parent", "component"))
                        .alias("component"))
                .localCheckpoint())
-        changed = (new.filter(F.col("component") < F.col("old_component"))
-                   .limit(1).count())
+        changed_df = new.filter(F.col("component") < F.col("old_component"))
+        if telemetry is not None:
+            changed = changed_df.count()
+            telemetry["rounds"] += 1
+            telemetry["changed_per_round"].append(changed)
+        else:
+            changed = changed_df.limit(1).count()
         labels = new.select("node", "component")
         if changed == 0:
             return labels
