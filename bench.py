@@ -462,8 +462,9 @@ if __name__ == "__main__":
     ap.add_argument("--monitor-scaling", action="store_true",
                     help="north-rule pair for the monitor loop itself")
     ap.add_argument("--monitor-leg", action="store_true")
-    ap.add_argument("--docs", type=int, default=100_000,
-                    help="series count for --monitor-scaling")
+    ap.add_argument("--docs", type=int, default=None,
+                    help="series count for --monitor-scaling (default "
+                         "100000) and --monitor-leg (default N_DOCS)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="bucket count for --monitor-leg")
     ap.add_argument("--fit-bench", action="store_true")
@@ -474,12 +475,15 @@ if __name__ == "__main__":
                                      repeats=args.repeats)))
     elif args.monitor_scaling:
         print(json.dumps(run_monitor_scaling(
-            n=args.scale_n, docs=args.docs, repeats=args.repeats)))
+            n=args.scale_n, docs=args.docs or 100_000,
+            repeats=args.repeats)))
     elif args.monitor_leg:
         # env wins (run_monitor_scaling passes docs to its subprocess
-        # legs that way); a direct CLI invocation honors --docs
+        # legs that way); an explicit --docs is honored; otherwise the
+        # historical N_DOCS default keeps round-over-round leg records
+        # comparable
         leg_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
-                                      args.docs))
+                                      args.docs or N_DOCS))
         print(json.dumps(run_monitor_leg(args.cores, leg_docs,
                                          args.buckets)))
     elif args.fit_bench:

@@ -94,6 +94,12 @@ def main(argv=None) -> int:
         F.count("*").alias("packs"),
         F.countDistinct("shard").alias("shards"),
         F.sum("n_real").cast("long").alias("real_tokens")).collect()[0]
+    if cc_stats is not None and not cc_stats:
+        # the neardup stage was skipped by resume, so CC never ran —
+        # say so instead of silently omitting the requested telemetry
+        cc_stats = {"skipped": "neardup_dedup stage resumed from a "
+                               "previous run; use a fresh --job-id to "
+                               "record CC telemetry"}
     print(json.dumps({
         "job_id": args.job_id,
         "funnel": funnel,

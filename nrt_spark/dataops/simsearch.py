@@ -138,8 +138,13 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     if len(centroids) <= max_inline_cells:
         cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         norm = _norm(cast_vec)
+        # try_divide: a zero-norm (invalid) vector yields a NULL cell
+        # instead of an ANSI divide-by-zero that would kill the whole
+        # job; the matmul path mirrors the NULL
         sims = F.array(*[
-            _dot(cast_vec, F.array(*[F.lit(float(x)) for x in c])) / norm
+            F.try_divide(_dot(cast_vec,
+                              F.array(*[F.lit(float(x)) for x in c])),
+                         norm)
             for c in centroids
         ])
         cell = F.array_position(sims, F.array_max(sims)) - 1
@@ -152,10 +157,17 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     def cell_udf(vecs: pd.Series) -> pd.Series:
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if not len(X):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="Int32")
+        norms = np.sqrt((X * X).sum(axis=1))
         sims = X @ C.T                       # (n, n_cells), one BLAS call
-        sims /= np.sqrt((X * X).sum(axis=1))[:, None]
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims /= norms[:, None]
+        out = pd.array(np.argmax(sims, axis=1).astype(np.int32),
+                       dtype="Int32")
+        # zero-norm vectors: Catalyst's 0/0 division is NULL (non-ANSI),
+        # so array_max/array_position yield a NULL cell — mirror it
+        out[norms == 0] = pd.NA
+        return pd.Series(out)
 
     return embeddings.select(id_col, vec_col,
                              cell_udf(vec_col).alias("cell"))

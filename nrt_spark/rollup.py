@@ -156,6 +156,15 @@ def _upsert_paths(tier_path: Path) -> tuple[Path, Path]:
     return tier_path / ".upsert_stage", tier_path / ".upsert_manifest.json"
 
 
+def _upsert_backup(tier_path: Path, period: str) -> Path:
+    """Backup dir for one period during the upsert publish.  The name
+    is namespaced ``.upsert.period=P.old`` — deliberately DISJOINT from
+    :func:`compact_partition`'s ``.period=P.old`` backups, so neither
+    operation's crash recovery can sweep (and lose) the other's only
+    copy of a partition."""
+    return tier_path / f".upsert.period={period}.old"
+
+
 def recover_tier(base_path: str, tier: str) -> str:
     """Crash recovery for :func:`upsert_tier`'s staged commit; safe (and
     cheap) to call any time — :func:`upsert_tier` runs it on entry.
@@ -176,11 +185,12 @@ def recover_tier(base_path: str, tier: str) -> str:
     """
     tier_path = Path(base_path) / f"tier={tier}"
     staging, manifest = _upsert_paths(tier_path)
+    tmp_manifest = tier_path / ".upsert_manifest.tmp"
     if manifest.exists():
         entries = json.loads(manifest.read_text())["periods"]
         for period, existed in entries.items():
             live = tier_path / f"period={period}"
-            backup = tier_path / f".period={period}.old"
+            backup = _upsert_backup(tier_path, period)
             if backup.exists():
                 if live.exists():
                     shutil.rmtree(live)
@@ -190,15 +200,23 @@ def recover_tier(base_path: str, tier: str) -> str:
                 shutil.rmtree(live)
         if staging.exists():
             shutil.rmtree(staging)
+        if tmp_manifest.exists():
+            tmp_manifest.unlink()
         manifest.unlink()                  # last: re-entrant until here
         return "rolled_back"
     debris = False
     if staging.exists():                   # died before the manifest
         shutil.rmtree(staging)
         debris = True
-    for backup in tier_path.glob(".period=*.old"):
-        # backups without a manifest ⇒ the commit happened (manifest
-        # removal IS the commit point) and we died during cleanup
+    if tmp_manifest.exists():              # died between write and rename
+        tmp_manifest.unlink()
+        debris = True
+    for backup in tier_path.glob(".upsert.period=*.old"):
+        # upsert backups without a manifest ⇒ the commit happened
+        # (manifest removal IS the commit point) and we died during
+        # cleanup.  compact_partition's '.period=*.old' backups are a
+        # different namespace and are NEVER touched here — they may be
+        # the only copy of a partition mid-compaction-crash.
         shutil.rmtree(backup)
         debris = True
     return "cleaned" if debris else "clean"
@@ -264,17 +282,15 @@ def upsert_tier(spark, base_path: str, tier: str,
         return {"periods": [], "buckets_before": 0, "buckets_after": 0}
     tier_path = f"{base_path}/tier={tier}"
     # create-vs-merge discriminator: COMMITTED content, not bare dir
-    # existence — a crashed bootstrap leaves the dir with only
-    # _temporary junk, and the merge path would then wedge every retry
-    # on an unreadable table instead of re-bootstrapping
+    # existence — a crashed bootstrap leaves the dir with only staged
+    # junk, and the merge path would then wedge every retry on an
+    # unreadable table instead of re-bootstrapping.  The bootstrap goes
+    # through the SAME staged publish as the merge (rollback deletes
+    # the new periods, the token is created by the commit rename), so
+    # the exactly-once contract holds for the first batch too.
     if not any(Path(tier_path).glob("period=*")):
-        (delta.write.mode("overwrite").partitionBy("period")
-         .parquet(tier_path))
-        n = delta.count()
+        n = _stage_and_publish(Path(tier_path), delta, periods, token)
         delta.unpersist()
-        if token is not None:
-            token.parent.mkdir(parents=True, exist_ok=True)
-            token.touch()
         return {"periods": periods, "buckets_before": 0,
                 "buckets_after": n}
     existing = (spark.read.option("basePath", tier_path).parquet(tier_path)
@@ -316,19 +332,34 @@ def upsert_tier(spark, base_path: str, tier: str,
                                 F.col("vsum") / F.col("n"))) \
      .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
      .select(*ROLLUP_COLS, "last_ts", "period")
-    # staged commit: the merge is written NEXT TO the live partitions,
-    # so its lineage can safely re-read them on task retry (no
-    # localCheckpoint needed) and a crash during the write leaves the
-    # table untouched
-    tp = Path(tier_path)
+    buckets_after = _stage_and_publish(Path(tier_path), merged, periods,
+                                       token)
+    delta.unpersist()
+    return {"periods": periods, "buckets_before": buckets_before,
+            "buckets_after": buckets_after}
+
+
+def _stage_and_publish(tp: Path, frame: DataFrame, periods: list[str],
+                       token: "Path | None") -> int:
+    """upsert_tier's staged-swap commit, shared by the bootstrap and
+    merge paths.  Returns the published row count.
+
+    ``frame`` (which must carry a ``period`` column covering exactly
+    ``periods``) is written NEXT TO the live partitions, so its lineage
+    can safely re-read them on task retry and a crash during the write
+    leaves the table untouched.  Then: manifest (atomic tmp+rename) →
+    per-period rename publish with backups kept → COMMIT POINT = the
+    manifest's atomic retirement.  With a ``token`` the manifest
+    BECOMES the token in that one rename, so token-exists ⇔ committed
+    with no window between them."""
     staging, manifest = _upsert_paths(tp)
-    merged.write.mode("overwrite").partitionBy("period") \
+    tp.mkdir(parents=True, exist_ok=True)
+    frame.write.mode("overwrite").partitionBy("period") \
         .parquet(str(staging))
     # row count from the staged footers: metadata-only, no second job
     import pyarrow.parquet as pq
-    buckets_after = sum(pq.ParquetFile(f).metadata.num_rows
-                        for f in staging.glob("period=*/*.parquet"))
-    delta.unpersist()
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                 for f in staging.glob("period=*/*.parquet"))
     # manifest = the in-flight record recover_tier rolls back from;
     # written atomically (tmp + rename) AFTER staging is complete
     entries = {p: (tp / f"period={p}").exists() for p in periods}
@@ -337,17 +368,14 @@ def upsert_tier(spark, base_path: str, tier: str,
     os.replace(tmp_manifest, manifest)
     for period in periods:
         live = tp / f"period={period}"
-        backup = tp / f".period={period}.old"
+        backup = _upsert_backup(tp, period)
         if live.exists():
             live.rename(backup)            # kept until the commit point
         staged_p = staging / f"period={period}"
-        if not staged_p.exists():          # defensive: merged always
+        if not staged_p.exists():          # defensive: the frame always
             raise RuntimeError(            # covers every delta period
                 f"staged partition missing: {staged_p}")
         staged_p.rename(live)
-    # COMMIT POINT: atomically retire the manifest.  With a
-    # commit_token the manifest BECOMES the token (one rename), so
-    # token-exists ⇔ merge-committed with no window between them.
     if token is not None:
         token.parent.mkdir(parents=True, exist_ok=True)
         try:
@@ -369,13 +397,12 @@ def upsert_tier(spark, base_path: str, tier: str,
     try:
         shutil.rmtree(staging)
         for period in periods:
-            backup = tp / f".period={period}.old"
+            backup = _upsert_backup(tp, period)
             if backup.exists():
                 shutil.rmtree(backup)
     except OSError:
         pass
-    return {"periods": periods, "buckets_before": buckets_before,
-            "buckets_after": buckets_after}
+    return n_rows
 
 
 def compact_partition(spark, path: str, target_mb: int = 128) -> dict:

@@ -331,7 +331,7 @@ def rollup_stream_upsert(obs_stream, base_path: str, tier: str,
                          checkpoint: str):
     """Stream observations INTO a maintained tier table: every
     micro-batch folds through :func:`nrt_spark.rollup.upsert_tier`
-    (create-or-merge, dynamic partition overwrite of only the touched
+    (create-or-merge, staged atomic swap of only the touched
     periods) via ``foreachBatch``.
 
     Redelivery protection: Structured Streaming may re-run a batch

@@ -396,3 +396,23 @@ def test_ann_oracle_sign_margins():
         "assign different cells")
     psims = np.sort(np.asarray(C) @ (pr / np.linalg.norm(pr)))[::-1]
     assert psims[5] - psims[6] > eps, "nprobe cut within tie margin"
+
+
+def test_ivf_assign_zero_vector_is_null_on_both_paths(spark):
+    """Zero-norm embeddings get a NULL cell on BOTH ivf_assign
+    strategies (Catalyst's 0/0 division is NULL; the matmul path
+    mirrors it with a masked nullable Int32) — a zero vector must
+    never silently land in cell 0."""
+    import numpy as np
+
+    from nrt_spark.dataops.simsearch import ivf_assign
+
+    C = np.eye(4)[:3]                      # 3 centroids, dim 4
+    df = spark.createDataFrame(
+        [("z", [0.0, 0.0, 0.0, 0.0]), ("a", [1.0, 0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>")
+    for mic in (10_000, 0):                # inline path, matmul path
+        rows = {r["vec_id"]: r["cell"]
+                for r in ivf_assign(df, C, max_inline_cells=mic).collect()}
+        assert rows["z"] is None, f"max_inline_cells={mic}"
+        assert rows["a"] == 0, f"max_inline_cells={mic}"

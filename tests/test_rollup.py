@@ -482,3 +482,36 @@ def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch):
                                rtol=1e-12)
     pd.testing.assert_frame_equal(got2, got)        # phase-C tier agrees
     late.unpersist()
+
+
+def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
+                                                          tmp_path):
+    """The two staged-swap protocols use disjoint backup namespaces:
+    recover_tier must NOT sweep compact_partition's '.period=P.old'
+    (mid-compaction-crash it is the only copy of the partition), and
+    compaction's recovery must still restore it afterwards."""
+    from nrt_spark.rollup import (compact_partition, recover_tier,
+                                  rollup_raw, upsert_tier, write_tier)
+
+    write_tier(rollup_raw(long_df, "day", with_last_ts=True),
+               str(tmp_path), "day")
+    tier = tmp_path / "tier=day"
+    part = sorted(tier.glob("period=*"))[0]
+    rows = spark.read.parquet(str(part)).count()
+    # simulate a compaction crash between the two renames: live gone,
+    # compact-namespace backup holds the only copy
+    backup = part.parent / f".{part.name}.old"
+    part.rename(backup)
+
+    assert recover_tier(str(tmp_path), "day") == "clean"
+    assert backup.exists(), "recover_tier swept a compaction backup"
+
+    # an upsert (entry recovery + empty delta) must also leave it alone
+    upsert_tier(spark, str(tmp_path), "day", long_df.limit(0))
+    assert backup.exists()
+
+    # compaction's own crash recovery then restores the partition
+    s = compact_partition(spark, str(part), target_mb=1024)
+    assert part.exists() and not backup.exists()
+    assert spark.read.parquet(str(part)).count() == rows
+    assert s["skipped"] in (True, False)
