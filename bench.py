@@ -478,12 +478,13 @@ if __name__ == "__main__":
             n=args.scale_n, docs=args.docs or 100_000,
             repeats=args.repeats)))
     elif args.monitor_leg:
-        # env wins (run_monitor_scaling passes docs to its subprocess
-        # legs that way); an explicit --docs is honored; otherwise the
-        # historical N_DOCS default keeps round-over-round leg records
-        # comparable
-        leg_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
-                                      args.docs or N_DOCS))
+        # an explicit --docs wins; else the env (how run_monitor_scaling
+        # passes docs to its subprocess legs, which never set --docs);
+        # else the historical N_DOCS default keeps round-over-round leg
+        # records comparable
+        leg_docs = (args.docs if args.docs is not None
+                    else int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
+                                            N_DOCS)))
         print(json.dumps(run_monitor_leg(args.cores, leg_docs,
                                          args.buckets)))
     elif args.fit_bench:

@@ -164,8 +164,10 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
             sims /= norms[:, None]
         out = pd.array(np.argmax(sims, axis=1).astype(np.int32),
                        dtype="Int32")
-        # zero-norm vectors: Catalyst's 0/0 division is NULL (non-ANSI),
-        # so array_max/array_position yield a NULL cell — mirror it
+        # zero-norm vectors: the inline path's try_divide returns NULL
+        # on a zero divisor (plain division would RAISE under Spark 4's
+        # default ANSI mode), so array_max/array_position yield a NULL
+        # cell — mirror it here
         out[norms == 0] = pd.NA
         return pd.Series(out)
 

@@ -149,11 +149,13 @@ def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
        .parquet(f"{base_path}/tier={tier}"))
 
 
-def _upsert_paths(tier_path: Path) -> tuple[Path, Path]:
-    """(staging dir, manifest file) for upsert_tier's staged commit —
-    both dot-prefixed so Spark partition discovery and this module's
-    ``period=*`` globs never see in-flight state."""
-    return tier_path / ".upsert_stage", tier_path / ".upsert_manifest.json"
+def _upsert_paths(tier_path: Path) -> tuple[Path, Path, Path]:
+    """(staging dir, manifest file, tmp manifest) for upsert_tier's
+    staged commit — all dot-prefixed so Spark partition discovery and
+    this module's ``period=*`` globs never see in-flight state."""
+    return (tier_path / ".upsert_stage",
+            tier_path / ".upsert_manifest.json",
+            tier_path / ".upsert_manifest.tmp")
 
 
 def _upsert_backup(tier_path: Path, period: str) -> Path:
@@ -172,8 +174,8 @@ def recover_tier(base_path: str, tier: str) -> str:
     The commit protocol makes every crash land in one of two states:
 
     - **manifest present** → the publish never committed.  Roll BACK:
-      every period is restored from its ``.period=P.old`` backup (kept
-      until commit, so rollback is always possible), periods that did
+      every period is restored from its ``.upsert.period=P.old`` backup
+      (kept until commit, so rollback is always possible), periods that did
       not pre-exist are deleted, staging is discarded.  The table is
       byte-identical to before the upsert and the caller's retry
       re-applies the delta exactly once.
@@ -184,13 +186,21 @@ def recover_tier(base_path: str, tier: str) -> str:
     Returns "clean", "rolled_back", or "cleaned" (post-commit debris).
     """
     tier_path = Path(base_path) / f"tier={tier}"
-    staging, manifest = _upsert_paths(tier_path)
-    tmp_manifest = tier_path / ".upsert_manifest.tmp"
+    staging, manifest, tmp_manifest = _upsert_paths(tier_path)
     if manifest.exists():
         entries = json.loads(manifest.read_text())["periods"]
         for period, existed in entries.items():
             live = tier_path / f"period={period}"
             backup = _upsert_backup(tier_path, period)
+            if not backup.exists():
+                # manifest written by the short-lived pre-namespace code
+                # version used '.period=P.old'; with a manifest present
+                # that name can only be an upsert backup (an in-flight
+                # compaction of the same period during an upsert is a
+                # caller error), so honor it for the rollback
+                legacy = tier_path / f".period={period}.old"
+                if legacy.exists():
+                    backup = legacy
             if backup.exists():
                 if live.exists():
                     shutil.rmtree(live)
@@ -352,7 +362,7 @@ def _stage_and_publish(tp: Path, frame: DataFrame, periods: list[str],
     manifest's atomic retirement.  With a ``token`` the manifest
     BECOMES the token in that one rename, so token-exists ⇔ committed
     with no window between them."""
-    staging, manifest = _upsert_paths(tp)
+    staging, manifest, tmp_manifest = _upsert_paths(tp)
     tp.mkdir(parents=True, exist_ok=True)
     frame.write.mode("overwrite").partitionBy("period") \
         .parquet(str(staging))
@@ -363,7 +373,6 @@ def _stage_and_publish(tp: Path, frame: DataFrame, periods: list[str],
     # manifest = the in-flight record recover_tier rolls back from;
     # written atomically (tmp + rename) AFTER staging is complete
     entries = {p: (tp / f"period={p}").exists() for p in periods}
-    tmp_manifest = tp / ".upsert_manifest.tmp"
     tmp_manifest.write_text(json.dumps({"periods": entries}))
     os.replace(tmp_manifest, manifest)
     for period in periods:

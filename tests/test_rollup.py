@@ -514,4 +514,7 @@ def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
     s = compact_partition(spark, str(part), target_mb=1024)
     assert part.exists() and not backup.exists()
     assert spark.read.parquet(str(part)).count() == rows
-    assert s["skipped"] in (True, False)
+    # post-compaction invariant: at most ceil(bytes/1GiB)=1 data file
+    # unless the restore already had one (then it was a clean skip)
+    n_files = len(list(part.glob("*.parquet")))
+    assert n_files == 1 or (s["skipped"] and n_files == s["files_before"])

@@ -38,14 +38,20 @@ def main(argv=None) -> int:
 
     spark = get_spark(cores=8, app_name="gen_docs_big")
     docs = spark.read.parquet(args.src)
-    # id namespace: replica j shifts by j * 10^7 (driver ids are far
-    # smaller), keeping doc_id an int64 like the source table
+    # id namespace: replica j shifts by j * 10^7; VALIDATE the source
+    # fits under the shift (a doc_id >= 10^7 would collide with a
+    # replica id, silently corrupting dedup decisions downstream)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= 10_000_000:
+        raise ValueError(
+            f"source doc_id range [0, {max_id}] does not fit under the "
+            "10^7 replica shift; raise the shift for this table")
     rep = spark.range(args.replicas).select(
-        F.col("id").cast("int").alias("rep"))
+        F.col("id").cast("long").alias("rep"))
     out = (docs.crossJoin(F.broadcast(rep))
            .select(
-               (F.col("doc_id") + F.col("rep") * 10_000_000)
-               .alias("doc_id"),
+               (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)
+                .cast("long")).alias("doc_id"),
                # ONE doc-unique suffix token: enough shingle churn to
                # be a near-dup (not exact dup) of the original, but no
                # shared n-gram across docs that would cross-contaminate
