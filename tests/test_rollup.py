@@ -311,7 +311,8 @@ def test_upsert_tier_matches_full_recompute(spark, long_df, tmp_path):
     np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
                                want["vsum"].to_numpy(dtype=float),
                                rtol=1e-12)
-    # untouched periods were not rewritten (dynamic partition overwrite)
+    # untouched periods were not rewritten (staged swap touches only
+    # the delta's periods)
     touched = set(f"period={p}" for p in stats["periods"])
     for p in all_periods - touched:
         assert os.path.getmtime(str(tmp_path / "tier=day" / p)) \
