@@ -376,3 +376,32 @@ def retention_oracle(n_docs: int = 60, n_obs: int = 60,
     return pd.DataFrame(rows, columns=["period", "buckets_before",
                                        "buckets_after", "files_after",
                                        "dropped"])
+
+
+def lttb_oracle(n_docs: int = 60, n_obs: int = 60,
+                n_out: int = 12) -> pd.DataFrame:
+    """Expected LTTB selections per doc on the deterministic token
+    grid: decode (gap -> dropped), run the selection kernel over the
+    (day, value) series, emit the chosen points.  The engine runs the
+    same kernel per Arrow group; what the cross-engine compare
+    certifies is the distributed plumbing — grouping, in-group sort,
+    gap exclusion, timestamp decode — against this single-process
+    fold rendered as SQL literals."""
+    from nrt_spark.rollup import lttb_select
+    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
+                                  SCALE)
+
+    toks = generate_tokens_local(n_docs, n_obs=n_obs)
+    rows = []
+    for doc, tok in zip(toks["doc_id"], toks["tokens"]):
+        t = np.asarray(tok, dtype=np.int64)
+        days = EPOCH_DAY + CADENCE_DAYS * np.arange(len(t))
+        keep = t != GAP_TOKEN
+        days, vals = days[keep], t[keep].astype(np.float64) / SCALE
+        # ts is decoded at second resolution in the engine; day
+        # boundaries make the int64 seconds exact
+        idx = lttb_select(days * 86400, vals, n_out)
+        for i in idx:
+            ts = str(np.datetime64(int(days[i]), "D")) + " 00:00:00"
+            rows.append((doc, ts, float(vals[i])))
+    return pd.DataFrame(rows, columns=["doc_id", "ts", "value"])

@@ -641,6 +641,44 @@ def events_moving_sum(spark, sf_dir):
     )
 
 
+@sub("events_counter_rate", """
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pv IS NULL THEN 0
+                     WHEN v >= pv THEN v - pv ELSE v END) AS BIGINT)
+         AS increase_e2,
+       CAST(count(CASE WHEN v < pv THEN 1 END) AS BIGINT) AS n_resets
+FROM o GROUP BY user_id
+""")
+def events_counter_rate(spark, sf_dir):
+    """PromQL-style ``increase()`` over a counter that RESETS: per
+    consecutive pair, add ``cur - prev`` when monotone and ``cur``
+    after a reset (the post-restart reading is wholly new increase) —
+    the rate primitive every monitoring store needs for
+    counter-semantic series.  Integer cent units (the ``revenue_e4``
+    pattern) keep the cross-engine sum exact regardless of aggregation
+    fold order.  One window pass + one groupBy, both keyed on the
+    series id."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100).cast("long")
+    o = ev.select("user_id", "ts", "event_id", v.alias("v")) \
+        .withColumn("pv", F.lag("v").over(w))
+    inc = F.when(F.col("pv").isNull(), F.lit(0)) \
+        .when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv")) \
+        .otherwise(F.col("v"))
+    return (o.groupBy("user_id")
+            .agg(F.sum(inc).cast("long").alias("increase_e2"),
+                 F.count(F.when(F.col("v") < F.col("pv"), F.lit(1)))
+                 .cast("long").alias("n_resets")))
+
+
 @sub("events_consec_outliers", """
 WITH hist AS (
   SELECT user_id,
@@ -2319,13 +2357,19 @@ FROM ({SUB_SQL['events_cusum']}) c
 UNION ALL
 SELECT 'mosum' AS monitor, user_id, mosum AS process, {_NB} AS histsize
 FROM ({SUB_SQL['events_moving_sum']}) m
+UNION ALL
+SELECT 'counter' AS monitor, user_id,
+       CAST(increase_e2 AS DOUBLE) AS process, n_resets AS histsize
+FROM ({SUB_SQL['events_counter_rate']}) r
 """)
 def events_process_values(spark, sf_dir):
     """A5-A7/W1-W3 SQL-expressible monitor primitives: final EWMA,
-    CUSUM and MOSUM process values per series."""
+    CUSUM and MOSUM process values per series, plus the PromQL-style
+    reset-aware counter increase (round 4)."""
     e = events_ewma(spark, sf_dir)
     c = events_cusum(spark, sf_dir)
     m = events_moving_sum(spark, sf_dir)
+    r = events_counter_rate(spark, sf_dir)
     nb = _null("long")
     return (
         e.select(F.lit("ewma").alias("monitor"), "user_id",
@@ -2335,6 +2379,10 @@ def events_process_values(spark, sf_dir):
         .unionAll(m.select(F.lit("mosum").alias("monitor"), "user_id",
                            F.col("mosum").alias("process"),
                            nb.alias("histsize")))
+        .unionAll(r.select(F.lit("counter").alias("monitor"), "user_id",
+                           F.col("increase_e2").cast("double")
+                           .alias("process"),
+                           F.col("n_resets").alias("histsize")))
     )
 
 
@@ -2582,6 +2630,35 @@ def nrt_retention_certify(spark, sf_dir):
               "files_after long, dropped boolean")
 
 
+def _lttb_sql() -> str:
+    from nrt_spark.oracle import lttb_oracle
+
+    pdf = lttb_oracle(n_docs=60, n_obs=60, n_out=12)
+    rows = ",\n".join(
+        f"('{d}', TIMESTAMP '{ts}', CAST('{float(v)!r}' AS DOUBLE))"
+        for d, ts, v in pdf.itertuples(index=False))
+    return ("SELECT doc_id, ts, value FROM (VALUES\n" + rows
+            + "\n) t(doc_id, ts, value)")
+
+
+@q("nrt_lttb_downsample", lambda: _lttb_sql())
+def nrt_lttb_downsample(spark, sf_dir):
+    """Shape-preserving LTTB downsample (Steinarsson 2013) of the
+    decoded token series — the visualization-grade companion to the
+    tier rollups: 12 points per series chosen to preserve the curve,
+    gaps excluded like a renderer drops missing samples.  One shuffle
+    on doc_id + a vectorized numpy kernel per series; the VALUES twin
+    replays the identical selection single-process, so the certified
+    surface is the distributed plumbing (grouping, in-group sort, gap
+    exclusion, timestamp decode)."""
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.rollup import lttb_downsample
+    from nrt_spark.tokens import decode_long
+
+    toks = generate_tokens(spark, 60, n_obs=60)
+    return lttb_downsample(decode_long(toks), n_out=12)
+
+
 # =========================================================================
 # Driver emission order: the correctness harness records the FIRST 50
 # entries of queries()/oracle_sql(), so the engine-specific flagships go
@@ -2595,7 +2672,7 @@ DRIVER_ORDER = [
     "nrt_ewma_report", "nrt_cusum_report", "nrt_mosum_report",
     "nrt_iqr_report", "nrt_ccdc_report", "nrt_incremental_report",
     "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_retention_certify",
-    "nrt_gorilla_stats",
+    "nrt_lttb_downsample", "nrt_gorilla_stats",
     "pack_token_sequences", "lsh_topk_embeddings", "ivf_topk_embeddings",
     "multimodal_features",
     # relational / time-series / training-data surface

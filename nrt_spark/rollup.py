@@ -496,3 +496,77 @@ def expire_tier(base_path: str, tier: str, keep_after: str) -> list[str]:
             shutil.rmtree(p)
             dropped.append(p.name)
     return dropped
+
+
+def lttb_select(days: "np.ndarray", values: "np.ndarray",
+                n_out: int) -> "np.ndarray":
+    """Largest-Triangle-Three-Buckets downsampling for ONE series:
+    returns the indices of the ``n_out`` points that best preserve the
+    series' visual shape (Steinarsson 2013, the visualization-grade
+    downsample every timeseries store ships alongside tier means).
+
+    Deterministic: NaN gaps are excluded by the caller; equal triangle
+    areas resolve to the FIRST maximal point (np.argmax), and bucket
+    boundaries come from integer linspace — any process reproduces the
+    same selection.  First and last points are always kept.
+    """
+    import numpy as np
+
+    n = len(values)
+    if n_out >= n:
+        return np.arange(n)
+    if n_out < 3:
+        raise ValueError("lttb needs n_out >= 3 (first + last + 1)")
+    # bucket boundaries over the interior points (exclusive of the
+    # pinned first/last), classic LTTB layout
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0                                   # last selected point
+    x = days.astype(np.float64)
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nxt_lo, nxt_hi = bounds[i + 1], (n if i == n_out - 3
+                                         else bounds[i + 2])
+        # the "third point" is the NEXT bucket's average
+        cx = x[nxt_lo:nxt_hi].mean()
+        cy = values[nxt_lo:nxt_hi].mean()
+        # triangle area vs the previously selected point, vectorized
+        # over this bucket's candidates
+        area = np.abs((x[a] - cx) * (values[lo:hi] - values[a])
+                      - (x[a] - x[lo:hi]) * (cy - values[a]))
+        a = lo + int(np.argmax(area))
+        out[i + 1] = a
+    out[-1] = n - 1
+    return out
+
+
+def lttb_downsample(long_df: DataFrame, n_out: int = 20) -> DataFrame:
+    """Per-series LTTB downsample of the decoded long stream — the
+    shape-preserving companion to the tier rollups (a dashboard pulls
+    ``n_out`` points per series instead of every bucket).
+
+    Plan shape: ONE shuffle on ``doc_id`` (the same key every other
+    per-series stage uses — on the bucketed/Iceberg layout it
+    disappears into storage partitioning), then a vectorized numpy
+    kernel per series inside ``applyInPandas``.  Gap (NULL) points are
+    dropped before selection, mirroring how a renderer treats missing
+    samples.  Output: (doc_id, ts, value), the selected points only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        keep = pdf["value"].notna().to_numpy()
+        pdf = pdf[keep]
+        if not len(pdf):
+            return pdf
+        days = pdf["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+        idx = lttb_select(days, pdf["value"].to_numpy(np.float64), n_out)
+        return pdf.iloc[idx]
+
+    return (long_df.select("doc_id", "ts", "value")
+            .groupBy("doc_id")
+            .applyInPandas(pick,
+                           "doc_id string, ts timestamp, value double"))

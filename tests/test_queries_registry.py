@@ -14,7 +14,7 @@ ENGINE_FLAGSHIPS = {
     "nrt_ewma_report", "nrt_cusum_report", "nrt_mosum_report",
     "nrt_iqr_report", "nrt_ccdc_report", "nrt_incremental_report",
     "nrt_rollup_day_tier", "nrt_rollup_checksum", "nrt_retention_certify",
-    "nrt_gorilla_stats",
+    "nrt_lttb_downsample", "nrt_gorilla_stats",
     "pack_token_sequences", "lsh_topk_embeddings", "ivf_topk_embeddings",
     "multimodal_features", "nrt_streaming_monitor_report",
     "nrt_streaming_rollup", "nrt_streaming_tier_upsert",
@@ -37,7 +37,7 @@ def test_every_flagship_inside_window():
 
 def test_order_is_engine_first_streaming_last():
     names = list(Q.queries())
-    assert set(names[:14]) == ENGINE_FLAGSHIPS - {
+    assert set(names[:15]) == ENGINE_FLAGSHIPS - {
         "nrt_streaming_monitor_report", "nrt_streaming_rollup",
         "nrt_streaming_tier_upsert"}
     # streaming last: a streaming crash can't shadow any other row

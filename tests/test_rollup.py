@@ -519,3 +519,49 @@ def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
     # unless the restore already had one (then it was a clean skip)
     n_files = len(list(part.glob("*.parquet")))
     assert n_files == 1 or (s["skipped"] and n_files == s["files_before"])
+
+
+def test_lttb_select_properties():
+    """LTTB kernel invariants: endpoints pinned, output size honored,
+    a planted spike survives downsampling, identity when n_out >= n,
+    deterministic."""
+    from nrt_spark.rollup import lttb_select
+
+    rng = np.random.default_rng(11)
+    days = np.arange(500, dtype=np.int64)
+    vals = rng.normal(0, 0.1, 500)
+    vals[237] = 50.0                       # the feature to preserve
+    idx = lttb_select(days, vals, 20)
+    assert len(idx) == 20 and idx[0] == 0 and idx[-1] == 499
+    assert (np.diff(idx) > 0).all()        # strictly increasing
+    assert 237 in idx, "spike lost by downsampling"
+    np.testing.assert_array_equal(idx, lttb_select(days, vals, 20))
+    # identity when the budget covers the series
+    np.testing.assert_array_equal(lttb_select(days[:10], vals[:10], 20),
+                                  np.arange(10))
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_select(days, vals, 2)
+
+
+def test_lttb_downsample_spark_matches_kernel(spark, long_df):
+    """The distributed operator reproduces the single-process kernel
+    per series (grouping, in-group sort, gap exclusion)."""
+    from nrt_spark.rollup import lttb_downsample, lttb_select
+
+    got = (lttb_downsample(long_df, n_out=10).toPandas()
+           .sort_values(["doc_id", "ts"]).reset_index(drop=True))
+    pdf = long_df.toPandas()
+    rows = []
+    for doc, grp in pdf.groupby("doc_id", sort=True):
+        grp = grp.sort_values("ts")
+        grp = grp[grp["value"].notna()]
+        days = grp["ts"].to_numpy("datetime64[s]").astype(np.int64)
+        idx = lttb_select(days, grp["value"].to_numpy(np.float64), 10)
+        rows.append(grp.iloc[idx][["doc_id", "ts", "value"]])
+    want = (pd.concat(rows).sort_values(["doc_id", "ts"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["value"].to_numpy(),
+                                  want["value"].to_numpy())
+    np.testing.assert_array_equal(got["ts"].to_numpy(),
+                                  want["ts"].to_numpy())
