@@ -126,3 +126,22 @@ def test_corpus_pipeline_no_cross_join(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lttb_single_exchange(spark):
+    """LTTB downsample: exactly ONE shuffle (the doc_id grouping) into
+    the Arrow grouped-map kernel — at the bucketed/Iceberg layout even
+    that disappears into storage partitioning."""
+    plan = plan_of(Q.queries()["nrt_lttb_downsample"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_counter_rate_single_exchange(spark):
+    """Reset-aware counter increase: the per-series window and the
+    final aggregate share ONE hash partitioning on user_id — the
+    partial aggregate folds map-side after the window, no second
+    shuffle of the event rows."""
+    plan = plan_of(Q.events_counter_rate(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
