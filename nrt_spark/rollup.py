@@ -570,3 +570,49 @@ def lttb_downsample(long_df: DataFrame, n_out: int = 20) -> DataFrame:
             .groupBy("doc_id")
             .applyInPandas(pick,
                            "doc_id string, ts timestamp, value double"))
+
+
+def lttb_downsample_tokens(tokens_df: DataFrame,
+                           n_out: int = 20) -> DataFrame:
+    """Token-layout LTTB fastpath: the token table already holds one
+    row per series, so the downsample is a single ``mapInPandas`` pass
+    with ZERO shuffle — decode, gap-drop and select happen per Arrow
+    batch, and the per-series kernel runs over plain numpy slices
+    instead of one pandas group per series (the generic
+    :func:`lttb_downsample` pays ~0.5 ms of grouped-map machinery per
+    series, which at 100k+ series dominates the math ~25x).
+
+    Bit-identical output to ``lttb_downsample(decode_long(tokens))``
+    (parity-tested): same second-resolution x axis, same kernel, same
+    tie rule.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
+                                  SCALE)
+
+    def gen(batches):
+        for pdf in batches:
+            docs, tss, vals = [], [], []
+            for doc, tok in zip(pdf["doc_id"], pdf["tokens"]):
+                t = np.asarray(tok, dtype=np.int64)
+                days = EPOCH_DAY + CADENCE_DAYS * np.arange(len(t),
+                                                            dtype=np.int64)
+                keep = t != GAP_TOKEN
+                d, v = days[keep], t[keep].astype(np.float64) / SCALE
+                if not len(d):
+                    continue
+                idx = lttb_select(d * 86400, v, n_out)
+                docs.append(np.repeat(doc, len(idx)))
+                tss.append(d[idx] * 86400)
+                vals.append(v[idx])
+            if docs:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(docs),
+                    "ts": np.concatenate(tss).astype("datetime64[s]"),
+                    "value": np.concatenate(vals),
+                })
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(
+        gen, "doc_id string, ts timestamp, value double")

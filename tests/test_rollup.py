@@ -565,3 +565,21 @@ def test_lttb_downsample_spark_matches_kernel(spark, long_df):
                                   want["value"].to_numpy())
     np.testing.assert_array_equal(got["ts"].to_numpy(),
                                   want["ts"].to_numpy())
+
+
+def test_lttb_tokens_fastpath_parity(spark, tokens, long_df):
+    """The zero-shuffle token-layout LTTB equals the generic grouped
+    path bit-for-bit, and its plan has NO Exchange."""
+    from nrt_spark.rollup import lttb_downsample, lttb_downsample_tokens
+
+    a = (lttb_downsample(long_df, n_out=10).toPandas()
+         .sort_values(["doc_id", "ts"]).reset_index(drop=True))
+    b = (lttb_downsample_tokens(tokens, n_out=10).toPandas()
+         .sort_values(["doc_id", "ts"]).reset_index(drop=True))
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["value"].to_numpy(),
+                                  b["value"].to_numpy())
+    np.testing.assert_array_equal(a["ts"].to_numpy(), b["ts"].to_numpy())
+    plan = (lttb_downsample_tokens(tokens, n_out=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
