@@ -113,6 +113,12 @@ def run_pipeline(spark) -> dict:
     qrow = (rollup_compress_tokens(toks, tiers=("day",), int_scale=10000.0)
             .agg(F.sum("n_points").alias("p"), F.sum("n_bytes").alias("b"))
             .collect()[0])
+    # zero-shuffle LTTB fastpath over the same token table (round 4)
+    from nrt_spark.rollup import lttb_downsample_tokens
+
+    t0 = time.time()
+    lttb_downsample_tokens(toks, n_out=20).count()
+    lttb_wall = time.time() - t0
     toks.unpersist()
     return {
         "wall_sec": round(wall, 3),
@@ -120,6 +126,7 @@ def run_pipeline(spark) -> dict:
         "rolled_points": total_points,
         "rollup_points_per_sec": round(total_points / wall, 1),
         "decode_points_per_sec": round(decoded / decode_wall, 1),
+        "lttb_points_per_sec": round(N_DOCS * N_OBS / lttb_wall, 1),
         "bytes_per_point": round(total_bytes / total_points, 3),
         "bytes_per_point_quantized": round(qrow["b"] / qrow["p"], 3),
     }
@@ -188,6 +195,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "rolled_points": pipe["rolled_points"],
         "rollup_points_per_sec": pipe["rollup_points_per_sec"],
         "decode_points_per_sec": pipe["decode_points_per_sec"],
+        "lttb_points_per_sec": pipe["lttb_points_per_sec"],
         "bytes_per_point": pipe["bytes_per_point"],
         "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
         "monitor_advance_obs_per_sec": pipe["monitor_advance_obs_per_sec"],
