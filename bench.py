@@ -113,9 +113,14 @@ def run_pipeline(spark) -> dict:
     qrow = (rollup_compress_tokens(toks, tiers=("day",), int_scale=10000.0)
             .agg(F.sum("n_points").alias("p"), F.sum("n_bytes").alias("b"))
             .collect()[0])
-    # zero-shuffle LTTB fastpath over the same token table (round 4)
+    # zero-shuffle LTTB fastpath over the same token table (round 4);
+    # throughput counts only the REAL (non-gap) points the kernel sees,
+    # consistent with rollup_points_per_sec
     from nrt_spark.rollup import lttb_downsample_tokens
+    from nrt_spark.tokens import GAP_TOKEN
 
+    real_pts = toks.select(F.sum(F.size(F.filter(
+        "tokens", lambda t: t != F.lit(GAP_TOKEN))))).first()[0]
     t0 = time.time()
     lttb_downsample_tokens(toks, n_out=20).count()
     lttb_wall = time.time() - t0
@@ -126,7 +131,7 @@ def run_pipeline(spark) -> dict:
         "rolled_points": total_points,
         "rollup_points_per_sec": round(total_points / wall, 1),
         "decode_points_per_sec": round(decoded / decode_wall, 1),
-        "lttb_points_per_sec": round(N_DOCS * N_OBS / lttb_wall, 1),
+        "lttb_points_per_sec": round(real_pts / lttb_wall, 1),
         "bytes_per_point": round(total_bytes / total_points, 3),
         "bytes_per_point_quantized": round(qrow["b"] / qrow["p"], 3),
     }

@@ -388,14 +388,13 @@ def lttb_oracle(n_docs: int = 60, n_obs: int = 60,
     gap exclusion, timestamp decode — against this single-process
     fold rendered as SQL literals."""
     from nrt_spark.rollup import lttb_select
-    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
-                                  SCALE)
+    from nrt_spark.tokens import GAP_TOKEN, SCALE, grid_days
 
     toks = generate_tokens_local(n_docs, n_obs=n_obs)
     rows = []
     for doc, tok in zip(toks["doc_id"], toks["tokens"]):
         t = np.asarray(tok, dtype=np.int64)
-        days = EPOCH_DAY + CADENCE_DAYS * np.arange(len(t))
+        days = grid_days(len(t))
         keep = t != GAP_TOKEN
         days, vals = days[keep], t[keep].astype(np.float64) / SCALE
         # ts is decoded at second resolution in the engine; day

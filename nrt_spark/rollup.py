@@ -513,10 +513,10 @@ def lttb_select(days: "np.ndarray", values: "np.ndarray",
     import numpy as np
 
     n = len(values)
-    if n_out >= n:
-        return np.arange(n)
     if n_out < 3:
         raise ValueError("lttb needs n_out >= 3 (first + last + 1)")
+    if n_out >= n:
+        return np.arange(n)
     # bucket boundaries over the interior points (exclusive of the
     # pinned first/last), classic LTTB layout
     bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
@@ -557,7 +557,10 @@ def lttb_downsample(long_df: DataFrame, n_out: int = 20) -> DataFrame:
     import pandas as pd
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
+        # stable sort + value tiebreaker: duplicate timestamps (late /
+        # re-delivered points) must not make the selection depend on
+        # shuffle arrival order
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
         keep = pdf["value"].notna().to_numpy()
         pdf = pdf[keep]
         if not len(pdf):
@@ -589,16 +592,14 @@ def lttb_downsample_tokens(tokens_df: DataFrame,
     import numpy as np
     import pandas as pd
 
-    from nrt_spark.tokens import (CADENCE_DAYS, EPOCH_DAY, GAP_TOKEN,
-                                  SCALE)
+    from nrt_spark.tokens import GAP_TOKEN, SCALE, grid_days
 
     def gen(batches):
         for pdf in batches:
             docs, tss, vals = [], [], []
             for doc, tok in zip(pdf["doc_id"], pdf["tokens"]):
                 t = np.asarray(tok, dtype=np.int64)
-                days = EPOCH_DAY + CADENCE_DAYS * np.arange(len(t),
-                                                            dtype=np.int64)
+                days = grid_days(len(t))
                 keep = t != GAP_TOKEN
                 d, v = days[keep], t[keep].astype(np.float64) / SCALE
                 if not len(d):

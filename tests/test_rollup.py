@@ -553,7 +553,7 @@ def test_lttb_downsample_spark_matches_kernel(spark, long_df):
     pdf = long_df.toPandas()
     rows = []
     for doc, grp in pdf.groupby("doc_id", sort=True):
-        grp = grp.sort_values("ts")
+        grp = grp.sort_values(["ts", "value"], kind="mergesort")
         grp = grp[grp["value"].notna()]
         days = grp["ts"].to_numpy("datetime64[s]").astype(np.int64)
         idx = lttb_select(days, grp["value"].to_numpy(np.float64), 10)
