@@ -525,16 +525,39 @@ WITH day AS (
 ), scaffold AS (
   SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
   FROM spans
+), win AS (
+  SELECT s.user_id, s.day, d.n, d.mean,
+         last_value(d.mean IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN d.mean IS NOT NULL THEN s.day END
+                    IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(d.mean IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN d.mean IS NOT NULL THEN s.day END
+                     IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM scaffold s LEFT JOIN day d USING (user_id, day)
 )
-SELECT s.user_id, s.day, coalesce(d.n, 0) AS n,
-       (d.n IS NULL) AS gap_filled,
-       round(last_value(d.mean IGNORE NULLS) OVER (
-         PARTITION BY s.user_id ORDER BY s.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS mean_ff
-FROM scaffold s LEFT JOIN day d USING (user_id, day)
+SELECT user_id, day, coalesce(n, 0) AS n, (n IS NULL) AS gap_filled,
+       round(pv, 6) AS mean_ff,
+       round(CASE WHEN mean IS NOT NULL THEN mean
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                         / CAST(nd - pd AS DOUBLE)) END,
+             6) AS mean_lin
+FROM win
 """)
 def events_gapfill_day(spark, sf_dir):
-    """Dense daily scaffold per user + forward-fill (sequence + window)."""
+    """Dense daily scaffold per user + LOCF forward-fill AND linear
+    interpolation between the neighbouring observed days (round 4) —
+    the two gap-fill semantics every timeseries store ships, certified
+    side by side (sequence + ordered windows, no extra shuffle)."""
     ev = _t(spark, sf_dir, "events")
     day = (ev.groupBy("user_id",
                       F.date_trunc("day", "ts").cast("date").alias("day"))
@@ -545,13 +568,26 @@ def events_gapfill_day(spark, sf_dir):
         "user_id",
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
     joined = scaffold.join(day, ["user_id", "day"], "left")
-    w = (W.partitionBy("user_id").orderBy("day")
-         .rowsBetween(W.unboundedPreceding, 0))
+    wb = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, W.unboundedFollowing))
+    obs_day = F.when(F.col("mean").isNotNull(), F.col("day"))
+    pv = F.last("mean", ignorenulls=True).over(wb)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wb)
+    nv = F.first("mean", ignorenulls=True).over(wf)
+    nd = F.first(obs_day, ignorenulls=True).over(wf)
+    lin = F.when(F.col("mean").isNotNull(), F.col("mean")) \
+        .when(pv.isNull(), nv).when(nv.isNull(), pv) \
+        .otherwise(pv + (nv - pv)
+                   * (F.datediff("day", pd_).cast("double")
+                      / F.datediff(nd, pd_).cast("double")))
     return joined.select(
         "user_id", "day",
         F.coalesce("n", F.lit(0)).alias("n"),
         F.col("n").isNull().alias("gap_filled"),
-        F.round(F.last("mean", ignorenulls=True).over(w), 6).alias("mean_ff"))
+        F.round(pv, 6).alias("mean_ff"),
+        F.round(lin, 6).alias("mean_lin"))
 
 
 @sub("events_ewma", """
@@ -677,6 +713,49 @@ def events_counter_rate(spark, sf_dir):
             .agg(F.sum(inc).cast("long").alias("increase_e2"),
                  F.count(F.when(F.col("v") < F.col("pv"), F.lit(1)))
                  .cast("long").alias("n_resets")))
+
+
+@sub("events_time_weighted", """
+WITH o AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events
+)
+SELECT user_id,
+       round(CAST(sum(v * (nt - t)) AS DOUBLE)
+             / CAST(max(t) - min(t) AS DOUBLE) / 100, 6) AS twa,
+       CAST(max(t) - min(t) AS BIGINT) AS span_us
+FROM o GROUP BY user_id
+HAVING max(t) > min(t)
+""")
+def events_time_weighted(spark, sf_dir):
+    """LOCF time-weighted average per series over the IRREGULAR event
+    stream — the continuous-aggregate primitive for unevenly sampled
+    data (a plain avg over-weights bursts).  Each observation holds
+    until the next one: twa = sum(v_i * gap_i) / span.  The weighted
+    sum is EXACT cross-engine: integer cents x integer microsecond
+    gaps (both well inside int64), one double division at the end.
+    One window pass + one groupBy sharing the series-id partitioning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session runs UTC, so the cast is the
+    # identity wall-clock and unix_micros agrees with DuckDB epoch_us
+    o = ev.select("user_id", "ts", "event_id",
+                  F.round(F.col("value") * 100).cast("long").alias("v"),
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("t")) \
+        .withColumn("nt", F.lead("t").over(w))
+    g = o.groupBy("user_id").agg(
+        F.sum(F.col("v") * (F.col("nt") - F.col("t"))).alias("num"),
+        (F.max("t") - F.min("t")).alias("span_us"))
+    return (g.filter(F.col("span_us") > 0)
+            .select("user_id",
+                    F.round(F.col("num").cast("double")
+                            / F.col("span_us").cast("double") / 100, 6)
+                    .alias("twa"),
+                    F.col("span_us").cast("long").alias("span_us")))
 
 
 @sub("events_consec_outliers", """
@@ -2361,15 +2440,20 @@ UNION ALL
 SELECT 'counter' AS monitor, user_id,
        CAST(increase_e2 AS DOUBLE) AS process, n_resets AS histsize
 FROM ({SUB_SQL['events_counter_rate']}) r
+UNION ALL
+SELECT 'twa' AS monitor, user_id, twa AS process, span_us AS histsize
+FROM ({SUB_SQL['events_time_weighted']}) t
 """)
 def events_process_values(spark, sf_dir):
     """A5-A7/W1-W3 SQL-expressible monitor primitives: final EWMA,
     CUSUM and MOSUM process values per series, plus the PromQL-style
-    reset-aware counter increase (round 4)."""
+    reset-aware counter increase and the LOCF time-weighted average
+    (round 4)."""
     e = events_ewma(spark, sf_dir)
     c = events_cusum(spark, sf_dir)
     m = events_moving_sum(spark, sf_dir)
     r = events_counter_rate(spark, sf_dir)
+    t = events_time_weighted(spark, sf_dir)
     nb = _null("long")
     return (
         e.select(F.lit("ewma").alias("monitor"), "user_id",
@@ -2383,6 +2467,9 @@ def events_process_values(spark, sf_dir):
                            F.col("increase_e2").cast("double")
                            .alias("process"),
                            F.col("n_resets").alias("histsize")))
+        .unionAll(t.select(F.lit("twa").alias("monitor"), "user_id",
+                           F.col("twa").alias("process"),
+                           F.col("span_us").alias("histsize")))
     )
 
 

@@ -115,16 +115,28 @@ def rollup_tiers(long_df: DataFrame) -> dict[str, DataFrame]:
 
 
 def gapfill(rollup_df: DataFrame, tier: str,
-            fill_cols: tuple = ("mean", "last")) -> DataFrame:
+            fill_cols: tuple = ("mean", "last"),
+            method: str = "locf") -> DataFrame:
     """Densify each series to every tier bucket in its own [min, max]
-    range and forward-fill the requested value columns.
+    range and fill the requested value columns.
 
-    Pure Catalyst: per-doc ``sequence()`` scaffold (explode), left join
-    back, then ``last(col, ignoreNulls)`` over an ordered window.  Rows
-    added by the scaffold carry ``gap_filled = true``.
+    ``method='locf'`` (default) forward-fills — the cloud-mask
+    semantic; ``method='linear'`` interpolates between the previous
+    and next OBSERVED bucket, weighted by bucket distance (edge
+    buckets fall back to the available side) — the dashboard/regridding
+    semantic every timeseries store ships next to LOCF.
+
+    Pure Catalyst either way: per-doc ``sequence()`` scaffold
+    (explode), left join back, then ordered windows —
+    ``last(ignoreNulls)`` for LOCF; LOCF plus a forward
+    ``first(ignoreNulls)`` pass (value and bucket timestamp) for the
+    interpolation weights.  Rows added by the scaffold carry
+    ``gap_filled = true``.
     """
     from pyspark.sql import Window as W
 
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gapfill method {method!r}")
     unit, interval = TIERS[tier]
     spans = rollup_df.groupBy("doc_id").agg(
         F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1"))
@@ -132,11 +144,28 @@ def gapfill(rollup_df: DataFrame, tier: str,
         "doc_id",
         F.explode(F.expr(f"sequence(b0, b1, {interval})")).alias("bucket_start"))
     joined = scaffold.join(rollup_df, ["doc_id", "bucket_start"], "left")
-    w = (W.partitionBy("doc_id").orderBy("bucket_start")
-         .rowsBetween(W.unboundedPreceding, 0))
+    wb = (W.partitionBy("doc_id").orderBy("bucket_start")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("doc_id").orderBy("bucket_start")
+          .rowsBetween(0, W.unboundedFollowing))
     out = joined.withColumn("gap_filled", F.col("n").isNull())
     for c in fill_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        if method == "locf":
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+            continue
+        obs_ts = F.when(F.col(c).isNotNull(), F.col("bucket_start"))
+        pv = F.last(c, ignorenulls=True).over(wb)
+        pt = F.last(obs_ts, ignorenulls=True).over(wb)
+        nv = F.first(c, ignorenulls=True).over(wf)
+        nt = F.first(obs_ts, ignorenulls=True).over(wf)
+        frac = (F.unix_seconds("bucket_start") - F.unix_seconds(pt)) \
+            / (F.unix_seconds(nt) - F.unix_seconds(pt))
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(pv.isNull(), nv)          # before first obs: backfill
+            .when(nv.isNull(), pv)          # after last obs: ffill
+            .otherwise(pv + (nv - pv) * frac))
     return out.withColumn("n", F.coalesce("n", F.lit(0)))
 
 

@@ -583,3 +583,37 @@ def test_lttb_tokens_fastpath_parity(spark, tokens, long_df):
     plan = (lttb_downsample_tokens(tokens, n_out=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_gapfill_linear_interpolation(spark, long_df):
+    """method='linear' matches pandas' time-linear interpolation on the
+    dense scaffold (edges fall back to the available side), and
+    observed buckets pass through untouched."""
+    day = R.rollup_raw(long_df, "day")
+    got = (R.gapfill(day, "day", fill_cols=("mean",), method="linear")
+           .toPandas().sort_values(["doc_id", "bucket_start"])
+           .reset_index(drop=True))
+    want_rows = []
+    base = day.toPandas()
+    for doc, grp in base.groupby("doc_id", sort=True):
+        grp = grp.set_index("bucket_start").sort_index()
+        dense = grp.reindex(pd.date_range(grp.index.min(),
+                                          grp.index.max(), freq="D"))
+        s = dense["mean"].interpolate(method="index",
+                                      limit_direction="both")
+        want_rows.append(pd.DataFrame({
+            "doc_id": doc, "bucket_start": dense.index, "mean": s.values}))
+    want = (pd.concat(want_rows)
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["mean"].to_numpy(dtype=float),
+                               want["mean"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    # observed buckets unchanged
+    obs = got[~got["gap_filled"]].set_index(["doc_id", "bucket_start"])
+    orig = base.dropna(subset=["mean"]) \
+        .set_index(["doc_id", "bucket_start"])
+    shared = obs.index.intersection(orig.index)
+    np.testing.assert_array_equal(obs.loc[shared, "mean"].to_numpy(),
+                                  orig.loc[shared, "mean"].to_numpy())
