@@ -265,7 +265,9 @@ def json_extract_events(spark, sf_dir):
 
 @q("asof_join_clicks", """
 SELECT p.event_id, p.user_id,
-       cc.event_id AS click_id, round(cc.value, 2) AS click_value
+       cc.event_id AS click_id, round(cc.value, 2) AS click_value,
+       nc.event_id AS next_click_id,
+       tc.event_id AS tol_click_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN LATERAL (
   SELECT c.event_id, c.value
@@ -273,17 +275,34 @@ LEFT JOIN LATERAL (
   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
 ) cc ON TRUE
+LEFT JOIN LATERAL (
+  SELECT c.event_id
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts >= p.ts
+  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+) nc ON TRUE
+LEFT JOIN LATERAL (
+  SELECT c.event_id
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) tc ON TRUE
 """)
 def asof_join_clicks(spark, sf_dir):
-    """As-of join: for each purchase, the user's latest click at or
-    before it (ties on ts broken by event_id, so id and value always
-    come from the same click row).
+    """As-of join, all three practical flavours (pandas ``merge_asof``
+    surface): for each purchase the user's latest click at-or-before it
+    (backward, ties on ts broken by event_id), the earliest click
+    at-or-after it (forward), and the backward match only when it falls
+    within a 1-hour tolerance.
 
-    Spark plan: union the two event streams with a type tag and take
-    ``last(click, ignoreNulls)`` over (user, ts, kind, event_id) at
-    purchase rows — ONE shuffle, linear in events.  The classic range
-    join + max_by rewrite is O(purchases x clicks) per user and dies on
-    a hot user at scale; this union+window form is the 100x-safe plan.
+    Spark plan: union the two event streams with a type tag; backward +
+    tolerance come from ONE ``last(click, ignoreNulls)`` window, the
+    forward direction from a ``first`` window over the same partitioning
+    (one extra in-partition sort, NO extra shuffle — the plan still has
+    a single Exchange and zero joins).  The classic range join +
+    max_by rewrite is O(purchases x clicks) per user and dies on a hot
+    user at scale; this union+window form is the 100x-safe plan.
     """
     ev = _t(spark, sf_dir, "events")
     # kind 0 = click, 1 = purchase: a click at the same ts sorts before
@@ -291,18 +310,38 @@ def asof_join_clicks(spark, sf_dir):
     clicks = ev.filter("event_type = 'click'").select(
         "user_id", "ts", F.lit(0).alias("kind"), "event_id",
         F.struct(F.col("event_id").alias("c_id"),
-                 F.col("value").alias("c_value")).alias("click"))
+                 F.col("value").alias("c_value"),
+                 F.col("ts").alias("c_ts")).alias("click"))
     purchases = ev.filter("event_type = 'purchase'").select(
         "user_id", "ts", F.lit(1).alias("kind"), "event_id",
-        F.lit(None).cast("struct<c_id:long,c_value:double>").alias("click"))
-    w = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
-         .rowsBetween(W.unboundedPreceding, 0))
-    u = clicks.unionByName(purchases).withColumn(
-        "last_click", F.last("click", ignorenulls=True).over(w))
+        F.lit(None).cast(
+            "struct<c_id:long,c_value:double,c_ts:timestamp_ntz>")
+        .alias("click"))
+    wb = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    # forward: same-ts clicks must sort AFTER the purchase row, hence
+    # the reversed kind ordering; same partitioning, so Catalyst plans
+    # a second sort but no second Exchange
+    wf = (W.partitionBy("user_id").orderBy("ts", F.desc("kind"),
+                                           "event_id")
+          .rowsBetween(0, W.unboundedFollowing))
+    u = (clicks.unionByName(purchases)
+         .withColumn("last_click", F.last("click", ignorenulls=True)
+                     .over(wb))
+         .withColumn("next_click", F.first("click", ignorenulls=True)
+                     .over(wf)))
+    # exact microsecond arithmetic — a seconds cast truncates and can
+    # flip a boundary case vs the oracle's INTERVAL comparison
+    within_tol = (F.unix_micros(F.col("ts").cast("timestamp"))
+                  - F.unix_micros(F.col("last_click.c_ts")
+                                  .cast("timestamp"))) <= 3_600_000_000
     return (u.filter("kind = 1")
             .select("event_id", "user_id",
                     F.col("last_click.c_id").alias("click_id"),
-                    F.round("last_click.c_value", 2).alias("click_value")))
+                    F.round("last_click.c_value", 2).alias("click_value"),
+                    F.col("next_click.c_id").alias("next_click_id"),
+                    F.when(within_tol, F.col("last_click.c_id"))
+                    .alias("tol_click_id")))
 
 
 @sub("supplier_part_revenue", """
