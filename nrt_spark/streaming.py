@@ -362,3 +362,34 @@ def rollup_stream_upsert(obs_stream, base_path: str, tier: str,
     return (obs_stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def sessionize_stream(event_stream, gap: str = "6 hours",
+                      watermark: str = "1 hour"):
+    """Streaming sessionization with Spark's NATIVE session windows:
+    events within ``gap`` of each other merge into one growing session;
+    a session finalizes (and emits, in append mode) once the event-time
+    watermark passes its close.  The stateful analog of the batch
+    gaps-and-islands query (queries.sessionize_events) — same 6h-gap
+    semantics, except an event at EXACTLY the gap boundary starts a new
+    session here (session windows are half-open) while the batch
+    ``> gap`` rule keeps it; real microsecond event times never sit on
+    the boundary.
+
+    Args:
+        event_stream: streaming DataFrame (user_id, ts, event_id).
+
+    Returns:
+        streaming DataFrame (user_id, session_start, session_end,
+        n_events) — one row per FINALIZED session.
+    """
+    from pyspark.sql import functions as F
+
+    return (event_stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))

@@ -390,3 +390,79 @@ def test_upsert_sink_crash_is_exactly_once(spark, tmp_path, monkeypatch):
                                rtol=1e-12)
     assert recover_tier(str(out), "day") == "clean"
     long_df.unpersist()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Native session-window streaming sessionization over out-of-order
+    chunks equals the batch session_window aggregation row-for-row, and
+    its per-user session counts agree with the gaps-and-islands batch
+    query (no exact-6h boundary events in this data)."""
+    import os
+
+    import numpy as np
+
+    from nrt_spark import queries as Q
+    from nrt_spark.streaming import sessionize_stream
+
+    sf = "/root/testdata/sf0.01"
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "ts", "event_id"))
+    src = tmp_path / "src"
+    # later half arrives FIRST; watermark delay is sized so the
+    # out-of-order chunk is still inside the lateness horizon
+    split = ev.selectExpr(
+        "percentile(unix_seconds(CAST(ts AS TIMESTAMP)), 0.5) AS c") \
+        .first()["c"]
+    (ev.filter(F.unix_seconds(F.col("ts").cast("timestamp")) > split)
+       .coalesce(1)
+       .write.parquet(str(src / "chunk0")))
+    (ev.filter(F.unix_seconds(F.col("ts").cast("timestamp")) <= split)
+       .coalesce(1)
+       .write.parquet(str(src / "chunk1")))
+    for i, chunk in enumerate(("chunk0", "chunk1")):
+        for f in (src / chunk).glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i * 10,) * 2)
+    # sentinel far in the future for a throwaway user: advances the
+    # watermark past every real session CLOSE (last event + 6h gap) so
+    # append mode emits them all — hence 401 days vs the 400-day delay
+    spark.createDataFrame(
+        [(int(-1), ev.agg(F.max("ts")).first()[0]
+          + __import__("datetime").timedelta(days=401), int(-1))],
+        "user_id long, ts timestamp, event_id long"
+    ).coalesce(1).write.parquet(str(src / "chunk2"))
+    for f in (src / "chunk2").glob("*.parquet"):
+        os.utime(f, (1_700_000_020,) * 2)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_id long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "chunk*")))
+    out = sessionize_stream(stream, gap="6 hours",
+                            watermark="400 days")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    got = (spark.table("sess_out").filter("user_id >= 0").toPandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+
+    want = (ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events")
+            .toPandas().sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+
+    gi = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in
+          Q.sessionize_events(spark, sf).collect()}
+    agg = got.groupby("user_id").agg(n_sessions=("n_events", "size"),
+                                     n_events=("n_events", "sum"))
+    for uid, row in agg.iterrows():
+        assert gi[uid] == (row["n_sessions"], row["n_events"]), uid
