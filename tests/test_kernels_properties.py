@@ -213,29 +213,3 @@ def test_lttb_select_invariants(values, n_out):
     assert idx[0] == 0 and idx[-1] == len(v) - 1
     assert (np.diff(idx) > 0).all()
     np.testing.assert_array_equal(idx, lttb_select(days, v, n_out))
-
-
-@given(st.lists(st.integers(min_value=0, max_value=50_000),
-                min_size=1, max_size=300))
-@settings(max_examples=60, deadline=None)
-def test_counter_increase_fold_property(readings):
-    """The windowed counter-increase formula equals the sequential
-    PromQL fold: increase = sum of positive deltas plus the full value
-    after every reset; resets counted exactly."""
-    import numpy as np
-
-    v = np.asarray(readings, dtype=np.int64)
-    # the query's formula: per consecutive pair
-    pv = v[:-1]
-    cur = v[1:]
-    inc_pairs = np.where(cur >= pv, cur - pv, cur).sum() if len(v) > 1 else 0
-    resets = int((cur < pv).sum()) if len(v) > 1 else 0
-    # sequential PromQL fold
-    total, seq_resets = 0, 0
-    for prev, x in zip(v[:-1], v[1:]):
-        if x >= prev:
-            total += x - prev
-        else:
-            total += x
-            seq_resets += 1
-    assert inc_pairs == total and resets == seq_resets

@@ -101,3 +101,49 @@ def test_entry_flagship(spark):
     assert n > 0
     assert {"user_id", "day", "mean", "ewma", "process",
             "is_break"} <= set(df.columns)
+
+
+def test_counter_rate_matches_sequential_fold(spark, tmp_path):
+    """events_counter_rate (the windowed Catalyst formula) equals a
+    sequential PromQL-style fold on adversarial synthetic data: resets,
+    equal consecutive readings, same-timestamp ties broken by event_id,
+    and a single-reading user (whose sum over zero pairs must be 0)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from nrt_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {
+        1: [10.0, 12.5, 12.5, 3.0, 7.25, 0.0, 0.0, 99.99],  # 2 resets
+        2: [5.0],                                           # single reading
+        3: [1.0, 1.0, 1.0],                                 # flat
+        4: [100.0, 0.01, 100.0, 0.01],                      # thrash
+    }
+    eid = 0
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            # user 4: same-ts pairs so event_id breaks the tie
+            ts = base + dt.timedelta(hours=i // 2 if uid == 4 else i)
+            rows.append((eid, ts, uid, "click", v, "{}"))
+            eid += 1
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+
+    got = {r["user_id"]: (r["increase_e2"], r["n_resets"]) for r in
+           Q.events_counter_rate(spark, str(tmp_path)).collect()}
+
+    for uid, vals in series.items():
+        cents = [int(np.round(v * 100)) for v in vals]
+        total = resets = 0
+        for prev, cur in zip(cents[:-1], cents[1:]):
+            if cur >= prev:
+                total += cur - prev
+            else:
+                total += cur
+                resets += 1
+        assert got[uid] == (total, resets), uid
