@@ -617,3 +617,30 @@ def test_gapfill_linear_interpolation(spark, long_df):
     shared = obs.index.intersection(orig.index)
     np.testing.assert_array_equal(obs.loc[shared, "mean"].to_numpy(),
                                   orig.loc[shared, "mean"].to_numpy())
+
+
+def test_recover_tier_legacy_backup_fallback(spark, long_df, tmp_path):
+    """A manifest written by the short-lived pre-namespace code version
+    paired with a '.period=P.old' backup still rolls back correctly:
+    with a manifest present that name can only be an upsert backup."""
+    import json
+
+    from nrt_spark.rollup import recover_tier, rollup_raw, write_tier
+
+    write_tier(rollup_raw(long_df, "day", with_last_ts=True),
+               str(tmp_path), "day")
+    tier = tmp_path / "tier=day"
+    part = sorted(tier.glob("period=*"))[0]
+    period = part.name.split("=", 1)[1]
+    rows = spark.read.parquet(str(part)).count()
+    # simulate the old protocol's crash state: live renamed to the
+    # legacy backup name, manifest present, swap never finished
+    part.rename(tier / f".period={period}.old")
+    (tier / ".upsert_manifest.json").write_text(
+        json.dumps({"periods": {period: True}}))
+
+    assert recover_tier(str(tmp_path), "day") == "rolled_back"
+    assert part.exists()
+    assert not (tier / f".period={period}.old").exists()
+    assert not (tier / ".upsert_manifest.json").exists()
+    assert spark.read.parquet(str(part)).count() == rows
