@@ -106,6 +106,32 @@ def main(argv=None) -> int:
                        if args.monitor in ("cusum", "mosum") else {}))
     job = ResumableJob(spark, args.job_id, f"{out}/metrics")
 
+    from nrt_spark.rollup import (TIERS, recover_tier, rollup_cascade,
+                                  rollup_raw, write_tier)
+    from nrt_spark.tokens import decode_long
+
+    # crash recovery FIRST, before any step runs: a previous run (or a
+    # streaming upsert sink sharing this tiers root) killed mid-commit
+    # leaves a staged tier publish; repair every tier so a rerun never
+    # reads — or writes next to — half-published state.  No-op ("clean")
+    # in the common case.
+    tiers_root = f"{out}/tiers"
+    recovered = {t: recover_tier(tiers_root, t) for t in TIERS
+                 if Path(f"{tiers_root}/tier={t}").exists()}
+
+    def tier_tables():
+        # day tier carries last_ts so late data can later be folded in
+        # via upsert_tier (the streaming sink path); week/month cascade
+        # from the WRITTEN day tier — no raw re-scan
+        write_tier(rollup_raw(decode_long(tokens), "day",
+                              with_last_ts=True), tiers_root, "day")
+        day = spark.read.parquet(f"{tiers_root}/tier=day").drop("period")
+        for t in ("week", "month"):
+            write_tier(rollup_cascade(day, t), tiers_root, t)
+        return None
+
+    ran_tiers = job.step("tier_tables", tier_tables)
+
     if args.bucketed_layout:
         from nrt_spark.engine import write_tokens_bucketed
 
@@ -166,10 +192,12 @@ def main(argv=None) -> int:
         "rows_in": n_tokens_rows,
         "steps_executed": {**({"ingest_bucketed": ran_ingest}
                               if args.bucketed_layout else {}),
+                           "tier_tables": ran_tiers,
                            "fit_monitor": ran_monitor,
                            "rollup_blocks": ran_rollup,
                            **({"compact_blocks": ran_compact}
                               if ran_compact is not None else {})},
+        "tiers_recovered": recovered,
         "mask_counts": masks,
         "rolled_points": int(stats["p"]),
         "bytes_per_point": round(stats["b"] / stats["p"], 3),

@@ -55,7 +55,12 @@ def _gen_batch(pdf: pd.DataFrame, n_obs: int, break_frac: float,
     X = regressors_for_days(days, trend=False, harmonic_order=2)
     out = {"tokens": [], "source": [], "green": [], "swir": []}
     for doc_id, seed, src_u in zip(pdf["doc_id"], pdf["seed64"], pdf["src_u"]):
-        rng = np.random.Generator(np.random.PCG64(np.uint64(seed)))
+        # xxhash64 seeds are signed int64; mask before the uint64 cast —
+        # np.uint64(negative) is deprecated and will raise on NumPy 2.x,
+        # and every oracle / checksum sits on these seeds.  The mask wraps
+        # mod 2**64 exactly like the old C-style cast (byte-identical).
+        seed_u = int(seed) & 0xFFFFFFFFFFFFFFFF
+        rng = np.random.Generator(np.random.PCG64(np.uint64(seed_u)))
         beta = np.array([
             0.3 + 0.4 * rng.random(),       # level
             0.05 + 0.15 * rng.random(),     # cos1
@@ -69,8 +74,8 @@ def _gen_batch(pdf: pd.DataFrame, n_obs: int, break_frac: float,
             v[b_idx:] -= 0.1 + 0.2 * rng.random()
         gaps = rng.random(n_obs) < gap_frac
         if bands or outlier_frac:
-            rng2 = np.random.Generator(np.random.PCG64(np.uint64(seed) ^
-                                                       np.uint64(0xB0BA)))
+            rng2 = np.random.Generator(
+                np.random.PCG64(np.uint64(seed_u ^ 0xB0BA)))
             green = 0.05 + 0.01 * rng2.standard_normal(n_obs)
             swir = 0.20 + 0.02 * rng2.standard_normal(n_obs)
             if outlier_frac:

@@ -58,6 +58,17 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     scope — no module-level cache to evict another pipeline's relation
     mid-query (the round-3 design did exactly that), and concurrent
     jobs in one session each keep their own copy.
+
+    Two deliberate trade-offs of the eager localCheckpoint (vs
+    ``persist``): (1) plan CONSTRUCTION triggers the materializing
+    Spark job immediately — callers composing lazily (e.g. building a
+    corpus funnel without running it) pay the shingle scan at
+    composition time; pass ``materialize=False`` there and persist at
+    the call site if needed.  (2) checkpointed blocks are
+    NON-RECOMPUTABLE: an executor/block loss fails the query instead of
+    recomputing the lineage as persist would — acceptable here because
+    the relation is consumed within one job and a retry restarts that
+    job, but not a building block for long-lived cached state.
     """
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))

@@ -82,22 +82,54 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
     return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+#: hash-threshold pre-filter parameters for ivf_train's sample draw.
+#: OVERSAMPLE=4 keeps the expected candidate pool 4x the sample size, so
+#: under-delivery (< sample survivors) has negligible binomial odds at
+#: sample >= 1000; K is the hash-bucket modulus the cut is expressed in.
+IVF_SAMPLE_OVERSAMPLE = 4
+IVF_SAMPLE_BUCKETS = 1 << 20
+
+
 def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
               sample: int = 10000, vec_col: str = "embedding",
               id_col: str = "vec_id", seed: str = "nrt-ivf") -> np.ndarray:
     """Train an IVF coarse quantizer: k-means over a driver-side sample.
 
-    Deterministic: the sample is the ``sample`` smallest ids (an ordered
-    TakeOrdered, not a partition-layout-dependent ``limit``), centroid
-    init comes from sha256-seeded selection of sample rows, and Lloyd
-    iterations are pure numpy — identical centroids on any cluster size
-    or partitioning.  At 10^12 scale the sample is a tiny fixed-size
+    Deterministic: the sample is the ``sample`` smallest ids of a
+    deterministic hash-selected candidate pool, centroid init comes from
+    sha256-seeded selection of sample rows, and Lloyd iterations are
+    pure numpy — identical centroids on any cluster size or
+    partitioning.  At 10^12 scale the sample is a tiny fixed-size
     sketch; training cost is O(sample), independent of table size.
+
+    Sample draw: when the table holds more than
+    ``IVF_SAMPLE_OVERSAMPLE * sample`` rows, rows are pre-filtered by a
+    deterministic hash threshold (``pmod(xxhash64(id), K) < cut`` with
+    the cut sized for an expected 4x oversample), and only the
+    survivors feed the ordered ``limit``.  A bare ``orderBy(id)
+    .limit(sample)`` is a TakeOrdered over the ENTIRE table — a full
+    scan feeding per-partition heaps at 10^12 rows just to draw a
+    fixed-size sketch; the hash filter drops ~all rows at the scan, so
+    the heaps and the driver collect see only ~4x sample rows.  On
+    tables at or below the oversample threshold (every test sf) the
+    filter is a no-op and the sample — hence the centroids — is
+    bit-identical to the unfiltered draw.  The numpy twin
+    (:func:`nrt_spark.oracle.ivf_ann_oracle`) mirrors the filter via
+    the pure-Python xxhash64, certifying both branches cross-engine.
 
     Returns:
         (n_cells, dim) float64 centroid matrix.
     """
-    rows = (embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    cand = embeddings.select(id_col, vec_col)
+    # count() is column-pruned (metadata-only on parquet sources); the
+    # exact total is only used to size the hash cut
+    n_total = embeddings.count()
+    if n_total > IVF_SAMPLE_OVERSAMPLE * sample:
+        K = IVF_SAMPLE_BUCKETS
+        cut = -(-K * IVF_SAMPLE_OVERSAMPLE * sample // n_total)  # ceil
+        cand = cand.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(K)) < F.lit(int(cut)))
+    rows = (cand.orderBy(id_col).limit(sample)
             .toPandas()[vec_col].tolist())
     X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)

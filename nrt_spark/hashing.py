@@ -10,6 +10,8 @@ is pinned in tests/test_oracle_pipeline.py.
 
 from __future__ import annotations
 
+import struct
+
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
 _P3 = 0x165667B19E3779F9
@@ -79,6 +81,14 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 def spark_xxhash64_str(s: str, seed: int = 42) -> int:
     """Signed-int64 twin of Spark's ``xxhash64(string_col)``."""
     h = xxh64(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64_long(v: int, seed: int = 42) -> int:
+    """Signed-int64 twin of Spark's ``xxhash64(bigint_col)``: the value
+    is hashed as its 8-byte little-endian two's-complement encoding
+    (parity pinned in tests/test_oracle_pipeline.py)."""
+    h = xxh64(struct.pack("<q", v), seed)
     return h - (1 << 64) if h >= (1 << 63) else h
 
 

@@ -267,9 +267,29 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
 
     import duckdb
 
-    rows = duckdb.sql(
-        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY vec_id LIMIT {int(sample)}").fetchall()
+    from nrt_spark.dataops.simsearch import (IVF_SAMPLE_BUCKETS,
+                                             IVF_SAMPLE_OVERSAMPLE)
+    from nrt_spark.hashing import spark_xxhash64_long
+
+    src = f"'{sf_dir}/embeddings.parquet'"
+    n_total = duckdb.sql(f"SELECT count(*) FROM {src}").fetchone()[0]
+    if n_total > IVF_SAMPLE_OVERSAMPLE * sample:
+        # mirror ivf_train's hash-threshold pre-filter (python % on a
+        # signed hash == Spark pmod: both non-negative)
+        K = IVF_SAMPLE_BUCKETS
+        cut = -(-K * IVF_SAMPLE_OVERSAMPLE * sample // n_total)
+        ids = [r[0] for r in
+               duckdb.sql(f"SELECT vec_id FROM {src}").fetchall()]
+        keep = sorted(i for i in ids
+                      if spark_xxhash64_long(int(i)) % K < cut)[:sample]
+        id_list = ",".join(str(i) for i in keep)
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM {src} "
+            f"WHERE vec_id IN ({id_list}) ORDER BY vec_id").fetchall()
+    else:
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM {src} "
+            f"ORDER BY vec_id LIMIT {int(sample)}").fetchall()
     X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -282,7 +302,11 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
             if len(members):
                 mu = members.mean(axis=0)
                 C[c] = mu / (np.linalg.norm(mu) or 1.0)
-    probe = np.asarray(rows[0][1], dtype=np.float64)   # vec_id = 0
+    # probe = vec_id 0, fetched explicitly — on the hash-filtered
+    # sample path rows[0] is the smallest SURVIVING id, not id 0
+    probe = np.asarray(duckdb.sql(
+        f"SELECT embedding FROM {src} WHERE vec_id = 0").fetchone()[0],
+        dtype=np.float64)
     pv = probe / np.linalg.norm(probe)
     probe_cells = np.argsort(-(C @ pv))[:nprobe].tolist()
     return C, [float(x) for x in probe], [int(c) for c in probe_cells]
@@ -397,9 +421,9 @@ def lttb_oracle(n_docs: int = 60, n_obs: int = 60,
         days = grid_days(len(t))
         keep = t != GAP_TOKEN
         days, vals = days[keep], t[keep].astype(np.float64) / SCALE
-        # ts is decoded at second resolution in the engine; day
-        # boundaries make the int64 seconds exact
-        idx = lttb_select(days * 86400, vals, n_out)
+        # x axis in µs, matching the engine's datetime64[us] axis
+        # exactly (day boundaries keep the int64 µs exact)
+        idx = lttb_select(days * 86400 * 1_000_000, vals, n_out)
         for i in idx:
             ts = str(np.datetime64(int(days[i]), "D")) + " 00:00:00"
             rows.append((doc, ts, float(vals[i])))

@@ -2088,15 +2088,25 @@ def nrt_streaming_monitor_report(spark, sf_dir):
     which must land byte-exactly on the same single-process numpy
     oracle as the batch report (checkpoint bootstrap, per-series
     watermark, micro-batch folding all certified)."""
+    import shutil as _shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="nrt_stream_mon_")
+    try:
+        return _streaming_monitor_report_impl(spark, tmp)
+    finally:
+        # the memory sink holds the result rows; the source/checkpoint
+        # scaffolding under /tmp is not needed after the query drains
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _streaming_monitor_report_impl(spark, tmp):
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.engine import NrtEngine
     from nrt_spark.kernels.monitors import resolve_params
     from nrt_spark.streaming import monitor_stream
     from nrt_spark.tokens import decode_long
 
-    tmp = tempfile.mkdtemp(prefix="nrt_stream_mon_")
     toks = generate_tokens(spark, 300, n_obs=130)
     eng = NrtEngine(spark, "cusum", num_buckets=16, trend=False,
                     method="OLS")
@@ -2176,29 +2186,35 @@ def nrt_streaming_rollup(spark, sf_dir):
     from nrt_spark.tokens import decode_long
     from nrt_spark.streaming import rollup_stream
 
+    import shutil as _shutil
+
     tmp = tempfile.mkdtemp(prefix="nrt_stream_q_")
-    toks = generate_tokens(spark, 30, n_obs=40)
-    (decode_long(toks).select("doc_id", "ts", "value")
-     .coalesce(1).write.parquet(tmp + "/src"))
-    stream = (spark.readStream
-              .schema("doc_id string, ts timestamp, value double")
-              .parquet(tmp + "/src"))
-    name = "nrt_streaming_rollup_sink"
-    query = (rollup_stream(stream, tier="day", watermark="10 days")
-             .writeStream.format("memory").queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", tmp + "/ck")
-             .trigger(availableNow=True).start())
     try:
-        finished = query.awaitTermination(120)
+        toks = generate_tokens(spark, 30, n_obs=40)
+        (decode_long(toks).select("doc_id", "ts", "value")
+         .coalesce(1).write.parquet(tmp + "/src"))
+        stream = (spark.readStream
+                  .schema("doc_id string, ts timestamp, value double")
+                  .parquet(tmp + "/src"))
+        name = "nrt_streaming_rollup_sink"
+        query = (rollup_stream(stream, tier="day", watermark="10 days")
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", tmp + "/ck")
+                 .trigger(availableNow=True).start())
+        try:
+            finished = query.awaitTermination(120)
+        finally:
+            query.stop()
+        if not finished:
+            # partial buckets must fail loudly, not record as a clean run
+            raise TimeoutError("streaming rollup did not drain in 120s")
+        # the memory sink holds the rows; tmp is removed in the finally
+        return spark.sql(
+            f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
+            f"FROM {name}")
     finally:
-        query.stop()
-    if not finished:
-        # partial buckets must fail loudly, not record as a clean run
-        raise TimeoutError("streaming rollup did not drain in 120s")
-    return spark.sql(
-        f"SELECT doc_id, bucket_start, n, round(mean, 6) AS mean "
-        f"FROM {name}")
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 @q("nrt_streaming_tier_upsert", lambda: _day_tier_sql())
@@ -2219,33 +2235,44 @@ def nrt_streaming_tier_upsert(spark, sf_dir):
     from nrt_spark.streaming import rollup_stream_upsert
     from nrt_spark.tokens import decode_long
 
+    import shutil as _shutil
+
     tmp = tempfile.mkdtemp(prefix="nrt_stream_upsert_")
-    obs = decode_long(generate_tokens(spark, 60, n_obs=60)) \
-        .select("doc_id", "ts", "value")
-    (obs.filter("ts >= '2015-06-01'").coalesce(1)
-        .write.parquet(tmp + "/src/chunk0"))
-    (obs.filter("ts < '2015-06-01'").coalesce(1)
-        .write.parquet(tmp + "/src/chunk1"))
-    for i, chunk in enumerate(("chunk0", "chunk1")):
-        for f in _glob.glob(f"{tmp}/src/{chunk}/*.parquet"):
-            _os.utime(f, (1_700_000_000 + i * 10,) * 2)
-    stream = (spark.readStream
-              .schema("doc_id string, ts timestamp, value double")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(tmp + "/src/chunk*"))
-    query = rollup_stream_upsert(stream, tmp + "/tiers", "day",
-                                 checkpoint=tmp + "/ck")
     try:
-        finished = query.awaitTermination(120)
+        obs = decode_long(generate_tokens(spark, 60, n_obs=60)) \
+            .select("doc_id", "ts", "value")
+        (obs.filter("ts >= '2015-06-01'").coalesce(1)
+            .write.parquet(tmp + "/src/chunk0"))
+        (obs.filter("ts < '2015-06-01'").coalesce(1)
+            .write.parquet(tmp + "/src/chunk1"))
+        for i, chunk in enumerate(("chunk0", "chunk1")):
+            for f in _glob.glob(f"{tmp}/src/{chunk}/*.parquet"):
+                _os.utime(f, (1_700_000_000 + i * 10,) * 2)
+        stream = (spark.readStream
+                  .schema("doc_id string, ts timestamp, value double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(tmp + "/src/chunk*"))
+        query = rollup_stream_upsert(stream, tmp + "/tiers", "day",
+                                     checkpoint=tmp + "/ck")
+        try:
+            finished = query.awaitTermination(120)
+        finally:
+            query.stop()
+        if not finished:
+            raise TimeoutError(
+                "streaming tier upsert did not drain in 120s")
+        # the result READS the tier under tmp, so pin its rows into the
+        # block manager (eager localCheckpoint) before the finally
+        # removes the scaffolding — the few-thousand-row result is the
+        # only thing that outlives this function
+        return (spark.read.parquet(tmp + "/tiers/tier=day")
+                .select("doc_id", "bucket_start", "n",
+                        F.round("mean", 6).alias("mean"),
+                        F.round("vmin", 6).alias("vmin"),
+                        F.round("vmax", 6).alias("vmax"))
+                .localCheckpoint())
     finally:
-        query.stop()
-    if not finished:
-        raise TimeoutError("streaming tier upsert did not drain in 120s")
-    return (spark.read.parquet(tmp + "/tiers/tier=day")
-            .select("doc_id", "bucket_start", "n",
-                    F.round("mean", 6).alias("mean"),
-                    F.round("vmin", 6).alias("vmin"),
-                    F.round("vmax", 6).alias("vmax")))
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 # =========================================================================
@@ -2731,26 +2758,35 @@ def nrt_retention_certify(spark, sf_dir):
                                   write_tier)
     from nrt_spark.tokens import decode_long
 
+    import shutil
+
+    # the tier is throwaway scaffolding: every number below is collected
+    # into local rows before return, so the path can be removed in the
+    # finally (no leaked /tmp day-tier per correctness/driver run)
     tmp = tempfile.mkdtemp(prefix="nrt_retention_")
-    day = rollup_raw(decode_long(generate_tokens(spark, 60, n_obs=60)),
-                     "day")
-    write_tier(day, tmp, "day")
-    compact_tiers(spark, tmp, target_mb=1024)       # -> 1 file/period
-    before = {r["period"]: r["cnt"] for r in
-              spark.read.parquet(f"{tmp}/tier=day")
-              .groupBy("period").agg(F.count("*").alias("cnt"))
-              .collect()}
-    dropped = {d.split("=", 1)[1]
-               for d in expire_tier(tmp, "day", keep_after="2015-06")}
-    after = {r["period"]: r["cnt"] for r in
-             spark.read.parquet(f"{tmp}/tier=day")
-             .groupBy("period").agg(F.count("*").alias("cnt"))
-             .collect()}
-    rows = []
-    for p in sorted(before):
-        files = len(list((Path(tmp) / "tier=day" / f"period={p}")
-                         .glob("*.parquet"))) if p not in dropped else 0
-        rows.append((p, before[p], after.get(p, 0), files, p in dropped))
+    try:
+        day = rollup_raw(decode_long(generate_tokens(spark, 60,
+                                                     n_obs=60)), "day")
+        write_tier(day, tmp, "day")
+        compact_tiers(spark, tmp, target_mb=1024)   # -> 1 file/period
+        before = {r["period"]: r["cnt"] for r in
+                  spark.read.parquet(f"{tmp}/tier=day")
+                  .groupBy("period").agg(F.count("*").alias("cnt"))
+                  .collect()}
+        dropped = {d.split("=", 1)[1]
+                   for d in expire_tier(tmp, "day", keep_after="2015-06")}
+        after = {r["period"]: r["cnt"] for r in
+                 spark.read.parquet(f"{tmp}/tier=day")
+                 .groupBy("period").agg(F.count("*").alias("cnt"))
+                 .collect()}
+        rows = []
+        for p in sorted(before):
+            files = len(list((Path(tmp) / "tier=day" / f"period={p}")
+                             .glob("*.parquet"))) if p not in dropped else 0
+            rows.append((p, before[p], after.get(p, 0), files,
+                         p in dropped))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows, "period string, buckets_before long, buckets_after long, "
               "files_after long, dropped boolean")

@@ -21,12 +21,17 @@ the decoded token series.  Design:
 
 from __future__ import annotations
 
+import contextlib
 import json
+import logging
 import os
 import shutil
+import socket
 from pathlib import Path
 
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
 
 #: tier name -> (date_trunc unit, sequence interval)
 TIERS = {
@@ -196,7 +201,72 @@ def _upsert_backup(tier_path: Path, period: str) -> Path:
     return tier_path / f".upsert.period={period}.old"
 
 
-def recover_tier(base_path: str, tier: str) -> str:
+class TierLockedError(RuntimeError):
+    """Another writer holds the tier's upsert lock.  Raised instead of
+    proceeding because a concurrent :func:`recover_tier` would roll back
+    (and delete the staging of) the other writer's in-flight commit."""
+
+
+@contextlib.contextmanager
+def _tier_lock(tier_path: Path):
+    """Single-writer guard for the staged-swap protocol: an O_EXCL
+    ``.upsert.lock`` file in the tier dir, held across
+    recover → stage → publish → cleanup.
+
+    The staged-swap paths (staging dir, manifest, backups) are fixed
+    per-tier names, so two concurrent upserts — or a standalone
+    ``recover_tier`` during one — would corrupt a publish on a shared
+    filesystem.  Contention fails loudly (:class:`TierLockedError` with
+    the holder's pid/host/time) rather than blocking: tier maintenance
+    is a scheduled job, and a second writer is a deployment error.
+
+    A lock left by a crashed SAME-HOST process (pid no longer alive) is
+    stolen automatically, so crash recovery stays hands-off; a lock
+    from another host is never stolen (no cross-host liveness check on
+    a shared filesystem) and must be removed by the operator after
+    confirming the holder is gone.
+    """
+    tier_path.mkdir(parents=True, exist_ok=True)
+    lock = tier_path / ".upsert.lock"
+    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    for attempt in ("first", "after-steal"):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                holder = json.loads(lock.read_text())
+            except (OSError, ValueError):
+                holder = {}
+            stale = False
+            if attempt == "first" and holder.get("host") == me["host"]:
+                try:
+                    os.kill(int(holder.get("pid", -1)), 0)
+                except (OSError, ValueError):
+                    stale = True          # same host, holder dead
+            if not stale:
+                raise TierLockedError(
+                    f"tier {tier_path} is locked by another upsert "
+                    f"writer ({holder or 'unreadable lock'}); concurrent "
+                    f"upsert/recover per tier is not supported — wait for "
+                    f"it, or remove {lock} if the holder is confirmed "
+                    f"dead") from None
+            log.warning("stealing stale upsert lock %s from dead "
+                        "same-host pid %s", lock, holder.get("pid"))
+            with contextlib.suppress(OSError):
+                lock.unlink()
+    else:  # pragma: no cover - loop always breaks or raises
+        raise TierLockedError(f"could not acquire {lock}")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(me, fh)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            lock.unlink()
+
+
+def recover_tier(base_path: str, tier: str, _locked: bool = False) -> str:
     """Crash recovery for :func:`upsert_tier`'s staged commit; safe (and
     cheap) to call any time — :func:`upsert_tier` runs it on entry.
 
@@ -212,9 +282,19 @@ def recover_tier(base_path: str, tier: str) -> str:
       committed and crashed during cleanup.  Discard stale staging /
       backups; the live table is correct.
 
+    Standalone calls take the tier's single-writer lock (see
+    :func:`_tier_lock`) so recovery can never roll back another
+    writer's in-flight commit; ``_locked`` is internal — set only by
+    :func:`upsert_tier`, which already holds the lock.
+
     Returns "clean", "rolled_back", or "cleaned" (post-commit debris).
     """
     tier_path = Path(base_path) / f"tier={tier}"
+    if not _locked:
+        if not tier_path.exists():
+            return "clean"                 # nothing to lock or recover
+        with _tier_lock(tier_path):
+            return recover_tier(base_path, tier, _locked=True)
     staging, manifest, tmp_manifest = _upsert_paths(tier_path)
     if manifest.exists():
         entries = json.loads(manifest.read_text())["periods"]
@@ -303,10 +383,22 @@ def upsert_tier(spark, base_path: str, tier: str,
         raise ValueError(
             "upsert_tier drives local/shared-filesystem layouts; object "
             "stores need the Iceberg MERGE INTO path (catalog.py)")
+    # single-writer guard: the staged-swap paths are fixed per-tier
+    # names, so a second concurrent writer (or a recover_tier call
+    # mid-commit) would corrupt the publish — fail loudly instead
+    with _tier_lock(Path(base_path) / f"tier={tier}"):
+        return _upsert_tier_locked(spark, base_path, tier, delta_long,
+                                   commit_token)
+
+
+def _upsert_tier_locked(spark, base_path: str, tier: str,
+                        delta_long: DataFrame,
+                        commit_token: "Path | str | None") -> dict:
+    """Body of :func:`upsert_tier`, run under the tier's writer lock."""
     # repair any crashed previous upsert BEFORE reading the table or
     # deciding create-vs-merge — a rolled-back table is then exactly
     # the pre-crash committed state
-    recover_tier(base_path, tier)
+    recover_tier(base_path, tier, _locked=True)
     token = Path(commit_token) if commit_token is not None else None
     delta = rollup_raw(delta_long, tier, with_last_ts=True) \
         .withColumn("period", F.date_format("bucket_start", "yyyy-MM")) \
@@ -431,15 +523,19 @@ def _stage_and_publish(tp: Path, frame: DataFrame, periods: list[str],
         manifest.unlink()
     # cleanup is post-commit and best-effort: the merge IS committed,
     # so a cleanup failure must not fail the batch (a lineage/ledger
-    # retry would double-apply it); recover_tier sweeps the debris
+    # retry would double-apply it); recover_tier sweeps the debris —
+    # but log it, so a PERSISTENT failure (e.g. permissions) that would
+    # silently accumulate backups is visible to the operator
     try:
         shutil.rmtree(staging)
         for period in periods:
             backup = _upsert_backup(tp, period)
             if backup.exists():
                 shutil.rmtree(backup)
-    except OSError:
-        pass
+    except OSError as exc:
+        log.warning("post-commit cleanup of %s left debris (%s); "
+                    "recover_tier will re-sweep, but investigate if "
+                    "this repeats — backups accumulate", tp, exc)
     return n_rows
 
 
@@ -594,8 +690,11 @@ def lttb_downsample(long_df: DataFrame, n_out: int = 20) -> DataFrame:
         pdf = pdf[keep]
         if not len(pdf):
             return pdf
-        days = pdf["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
-        idx = lttb_select(days, pdf["value"].to_numpy(np.float64), n_out)
+        # microsecond x axis: on sub-second data a [s]-truncated axis
+        # collapses distinct timestamps to tied x values, making the
+        # selection depend on truncation instead of real spacing
+        xs = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        idx = lttb_select(xs, pdf["value"].to_numpy(np.float64), n_out)
         return pdf.iloc[idx]
 
     return (long_df.select("doc_id", "ts", "value")
@@ -615,8 +714,8 @@ def lttb_downsample_tokens(tokens_df: DataFrame,
     series, which at 100k+ series dominates the math ~25x).
 
     Bit-identical output to ``lttb_downsample(decode_long(tokens))``
-    (parity-tested): same second-resolution x axis, same kernel, same
-    tie rule.
+    (parity-tested): same microsecond-resolution x axis, same kernel,
+    same tie rule.
     """
     import numpy as np
     import pandas as pd
@@ -633,7 +732,10 @@ def lttb_downsample_tokens(tokens_df: DataFrame,
                 d, v = days[keep], t[keep].astype(np.float64) / SCALE
                 if not len(d):
                     continue
-                idx = lttb_select(d * 86400, v, n_out)
+                # x axis in µs to stay bit-identical with the generic
+                # path (LTTB areas scale uniformly, but keep both axes
+                # equal so tie-rounding can never diverge)
+                idx = lttb_select(d * 86400 * 1_000_000, v, n_out)
                 docs.append(np.repeat(doc, len(idx)))
                 tss.append(d[idx] * 86400)
                 vals.append(v[idx])

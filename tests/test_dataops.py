@@ -340,6 +340,32 @@ def test_ivf_assign_matmul_path_matches_catalyst(spark):
     assert len(C) == 64 and 64 > 32
 
 
+def test_ivf_train_hash_sample_path(spark):
+    """The hash-threshold sample pre-filter (active when the table
+    exceeds oversample*sample rows): deterministic across partition
+    layouts, bit-identical to the duckdb/numpy twin's mirrored filter,
+    and a strict subset — so the no-filter branch at test scale stays
+    bit-identical to the pre-filter era by construction."""
+    import numpy as np
+
+    from nrt_spark.dataops.simsearch import (IVF_SAMPLE_OVERSAMPLE,
+                                             ivf_train)
+    from nrt_spark.oracle import ivf_ann_oracle
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_total = emb.count()
+    sample = 100
+    assert n_total > IVF_SAMPLE_OVERSAMPLE * sample  # filter active
+
+    C1 = ivf_train(emb, n_cells=8, iters=5, sample=sample)
+    C2 = ivf_train(emb.repartition(16), n_cells=8, iters=5,
+                   sample=sample)
+    np.testing.assert_array_equal(C1, C2)       # layout-independent
+    C_twin, _, _ = ivf_ann_oracle(sf, n_cells=8, iters=5, sample=sample)
+    np.testing.assert_array_equal(C1, C_twin)   # cross-engine bit-exact
+
+
 def test_ann_oracle_sign_margins():
     """Guard for the cross-engine ANN oracles' latent fragility: they
     compare sign-threshold (LSH plane dots) and argmax (IVF cell)

@@ -33,6 +33,19 @@ def test_xxh64_matches_spark(spark):
         assert spark_xxhash64_str(r["s"]) == r["h"], repr(r["s"])
 
 
+def test_xxhash64_long_parity_with_spark(spark):
+    """spark_xxhash64_long (the ivf sample-filter twin) == the JVM
+    xxhash64 on bigint columns, across sign/magnitude edge cases."""
+    from nrt_spark.hashing import spark_xxhash64_long
+
+    vals = [0, 1, -1, 42, -42, 2**31, -(2**31), 2**63 - 1, -(2**63),
+            1234567890123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long") \
+        .select("v", F.xxhash64("v").alias("h"))
+    for r in df.collect():
+        assert spark_xxhash64_long(r["v"]) == r["h"], r["v"]
+
+
 def test_local_datagen_matches_spark(spark):
     from nrt_spark.datagen import generate_tokens
     from nrt_spark.oracle import generate_tokens_local

@@ -360,7 +360,8 @@ def test_upsert_tier_any_arrival_order(spark, long_df, tmp_path, order):
                                rtol=1e-12)
 
 
-def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch):
+def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch,
+                                    caplog):
     """Crash the staged upsert commit at every phase and show the table
     either rolls back exactly (pre-commit kills — the retry then
     re-applies the delta once) or only leaves sweepable debris
@@ -460,9 +461,12 @@ def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch):
         return real_rmtree(p, *a, **k)
 
     monkeypatch.setattr(_shutil, "rmtree", boom_rmtree)
-    stats2 = upsert_tier(spark, base2, "day", late)
+    with caplog.at_level("WARNING", logger="nrt_spark.rollup"):
+        stats2 = upsert_tier(spark, base2, "day", late)
     monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
     assert stats2["periods"]
+    # the swallow is logged, so persistent cleanup failures are visible
+    assert any("left debris" in r.message for r in caplog.records)
     assert (Path(base2) / "tier=day" / ".upsert_stage").exists()
     assert recover_tier(base2, "day") == "cleaned"  # sweeps the debris
     got2 = (spark.read.parquet(f"{base2}/tier=day")
@@ -483,6 +487,43 @@ def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch):
                                rtol=1e-12)
     pd.testing.assert_frame_equal(got2, got)        # phase-C tier agrees
     late.unpersist()
+
+
+def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
+    """The .upsert.lock guard: a held lock makes upsert_tier and
+    standalone recover_tier fail loudly (instead of a concurrent
+    recover rolling back another writer's in-flight commit); a stale
+    same-host lock from a dead pid is stolen; foreign-host locks are
+    never stolen."""
+    import json as _json
+    import os as _os
+    import socket as _socket
+
+    from nrt_spark.rollup import (TierLockedError, recover_tier,
+                                  rollup_raw, upsert_tier, write_tier)
+
+    base = str(tmp_path)
+    write_tier(rollup_raw(long_df, "day", with_last_ts=True), base, "day")
+    lock = tmp_path / "tier=day" / ".upsert.lock"
+    me = _socket.gethostname()
+
+    # live same-host holder (this very pid) -> loud contention failure
+    lock.write_text(_json.dumps({"pid": _os.getpid(), "host": me}))
+    with pytest.raises(TierLockedError, match="locked by another"):
+        upsert_tier(spark, base, "day", long_df.limit(5))
+    with pytest.raises(TierLockedError):
+        recover_tier(base, "day")
+
+    # foreign-host holder: no cross-host liveness check -> never stolen
+    lock.write_text(_json.dumps({"pid": 1, "host": f"not-{me}"}))
+    with pytest.raises(TierLockedError):
+        upsert_tier(spark, base, "day", long_df.limit(5))
+
+    # dead same-host holder -> stolen, upsert proceeds, lock released
+    lock.write_text(_json.dumps({"pid": 2**22 + 12345, "host": me}))
+    stats = upsert_tier(spark, base, "day", long_df.limit(5))
+    assert stats["periods"]
+    assert not lock.exists()
 
 
 def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
@@ -555,8 +596,8 @@ def test_lttb_downsample_spark_matches_kernel(spark, long_df):
     for doc, grp in pdf.groupby("doc_id", sort=True):
         grp = grp.sort_values(["ts", "value"], kind="mergesort")
         grp = grp[grp["value"].notna()]
-        days = grp["ts"].to_numpy("datetime64[s]").astype(np.int64)
-        idx = lttb_select(days, grp["value"].to_numpy(np.float64), 10)
+        xs = grp["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        idx = lttb_select(xs, grp["value"].to_numpy(np.float64), 10)
         rows.append(grp.iloc[idx][["doc_id", "ts", "value"]])
     want = (pd.concat(rows).sort_values(["doc_id", "ts"])
             .reset_index(drop=True))
@@ -565,6 +606,37 @@ def test_lttb_downsample_spark_matches_kernel(spark, long_df):
                                   want["value"].to_numpy())
     np.testing.assert_array_equal(got["ts"].to_numpy(),
                                   want["ts"].to_numpy())
+
+
+def test_lttb_subsecond_resolution(spark):
+    """On sub-second data the x axis must keep microsecond spacing: a
+    [s]-truncated axis collapses distinct timestamps into tied x values
+    and the selection then depends on truncation, not real spacing.
+    Asserts the operator matches the µs-axis kernel AND that the µs
+    selection genuinely differs from the truncated one here (so this
+    test would catch a regression to the [s] axis)."""
+    import datetime as dt
+
+    from nrt_spark.rollup import lttb_downsample, lttb_select
+
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 60
+    ts = [base + dt.timedelta(milliseconds=137 * i) for i in range(n)]
+    vals = rng.standard_normal(n).round(3)
+    pdf = pd.DataFrame({"doc_id": "d0", "ts": ts, "value": vals})
+    xs_us = pdf["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    xs_s = pdf["ts"].to_numpy("datetime64[s]").astype(np.int64)
+    want = lttb_select(xs_us, vals, 12)
+    assert not np.array_equal(want, lttb_select(xs_s, vals, 12)), \
+        "data not probative: truncated axis picks the same points"
+
+    df = spark.createDataFrame(pdf)
+    got = (lttb_downsample(df, n_out=12).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    np.testing.assert_array_equal(
+        got["ts"].to_numpy("datetime64[us]").astype(np.int64),
+        np.sort(xs_us[want]))
 
 
 def test_lttb_tokens_fastpath_parity(spark, tokens, long_df):
