@@ -253,7 +253,7 @@ def rollup_stream_month(obs_stream, watermark: str = "3 days"):
 
 
 def monitor_stream(obs_stream, state_path: str, params: dict,
-                   num_buckets: int):
+                   num_buckets: int, fault_file: "str | None" = None):
     """Wire a streaming observation source to the stateful monitor.
 
     Args:
@@ -263,6 +263,14 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
             ``NrtEngine.save_state`` after ``fit``.
         params: ``resolve_params(...)`` output.
         num_buckets: must equal the engine's ``num_buckets``.
+        fault_file: TEST SEAM for the kill/restart soak (never set in
+            production wiring).  When given and the file exists, its
+            content is an integer day threshold; a micro-batch whose
+            observations reach that day raises AFTER the state-update
+            call — simulating a worker dying mid-commit, so the test
+            can assert that the restarted-from-checkpoint query lands
+            byte-exactly on the batch engine's result (buffered state
+            from the failed attempt must not leak).
 
     Returns:
         streaming DataFrame (doc_id, mask, process, detection_date,
@@ -282,6 +290,16 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
         obs = pd.concat(list(pdfs), ignore_index=True)
         new_pdf = _advance(state_pdf, obs, params, bucket)
         state.update((pickle.dumps(new_pdf[STATE_COLUMNS], protocol=4),))
+        if fault_file is not None:
+            try:
+                threshold = int(Path(fault_file).read_text())
+            except (OSError, ValueError):
+                threshold = None
+            if (threshold is not None and len(obs)
+                    and int(obs["day"].max()) >= threshold):
+                raise RuntimeError(
+                    "injected stream fault: batch reached the kill-day "
+                    "threshold (kill/restart soak)")
         yield _report_rows(new_pdf)
 
     keyed = obs_stream.withColumn(

@@ -78,6 +78,75 @@ def test_stream_matches_batch(spark, setup):
         want["detection_date"].to_numpy(dtype=np.int64))
 
 
+def test_monitor_stream_kill_restart(spark, setup, tmp_path):
+    """Exactly-once evidence for the applyInPandasWithState monitor
+    (the soak the upsert sink already had): kill the stateful operator
+    mid-batch — AFTER its state.update call, i.e. with buffered state
+    mutations in flight — at TWO points (batch 0, then batch 1 after a
+    clean batch 0), restart from the same checkpoint each time, and
+    assert the fully drained report is byte-identical to the batch
+    engine.  A leak of the failed attempt's state, a lost replay, or a
+    double-applied batch would each break the process values exactly."""
+    from pyspark.errors import StreamingQueryException
+
+    toks, eng, state0, obs, src, tmp = setup
+    params = resolve_params("cusum", trend=False, method="OLS")
+    chunk_min_day = [
+        spark.read.parquet(str(src / f"chunk{i}")).agg(
+            F.min("day")).first()[0]
+        for i in range(3)
+    ]
+    fault = tmp_path / "fault_day"
+    ck, outp = tmp_path / "ck", tmp_path / "rows"
+
+    def start():
+        stream = (spark.readStream
+                  .schema("doc_id string, day int, value double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/chunk*"))
+        out = monitor_stream(stream, str(tmp / "state0"), params,
+                             num_buckets=4, fault_file=str(fault))
+        return (out.writeStream.format("parquet")
+                .option("path", str(outp))
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True).start())
+
+    # kill point 1: die inside batch 0 (nothing committed yet)
+    fault.write_text(str(chunk_min_day[0]))
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    # kill point 2: batch 0 replays and commits, die inside batch 1
+    fault.write_text(str(chunk_min_day[1]))
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    # final restart: checkpoint resumes AFTER batch 0, replays batch 1
+    fault.unlink()
+    q = start()
+    assert q.awaitTermination(300), "restarted stream did not drain"
+
+    # the batch read respects the file sink's _spark_metadata log, so
+    # orphan files from the killed attempts are excluded (exactly-once)
+    got = (spark.read.parquet(str(outp))
+           .groupBy("doc_id")
+           .agg(F.max_by("mask", "last_day").alias("mask"),
+                F.max_by("process", "last_day").alias("process"),
+                F.max_by("detection_date", "last_day")
+                .alias("detection_date"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = (eng.monitor(state0, toks).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == N_DOCS
+    np.testing.assert_array_equal(got["mask"].to_numpy(dtype=np.int64),
+                                  want["mask"].to_numpy(dtype=np.int64))
+    np.testing.assert_array_equal(got["process"].to_numpy(),
+                                  want["process"].to_numpy())
+    np.testing.assert_array_equal(
+        got["detection_date"].to_numpy(dtype=np.int64),
+        want["detection_date"].to_numpy(dtype=np.int64))
+
+
 @pytest.mark.parametrize("tier", ["day", "week"])
 def test_rollup_stream_matches_batch(spark, setup, tier):
     """Streaming tumbling-window rollup (with watermark) lands on the
