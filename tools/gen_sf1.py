@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Deterministic sf1 test-table synthesis: a 10x referential-integrity-
+preserving expansion of the driver's sf0.1 parquet tables.
+
+The driver only ships sf0.001/0.01/0.1; the sf1 dry pass (full
+50-query registry + DuckDB oracle at 10x the certified scale) needs a
+bigger input.  Both engines read the SAME generated files, so the
+cross-engine compare is valid regardless of how the data was made —
+what matters is determinism and FK consistency:
+
+- every key column (PK and the FKs that reference it) gets the same
+  ``replica * STRIDE`` offset, so joins resolve within a replica
+  exactly as they do at sf0.1;
+- region/nation stay as-is (dimension tables, already referenced by
+  unchanged nationkey columns);
+- text/embedding payloads are NOT perturbed: replicas are exact
+  duplicates, which deliberately stresses the dedup/ANN surface
+  (cross-replica duplicate groups, cosine==1 ties — broken by id on
+  both engines) and the IVF hash-threshold sample branch (20k vectors
+  > the 4x10k oversample cutoff).
+
+Usage: python tools/gen_sf1.py [OUT_DIR]   (default /tmp/nrt_sf1)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+STRIDE = 1_000_000_000
+REPLICAS = 10
+
+#: key columns offset by replica*STRIDE (PKs and the FKs naming them)
+OFFSET_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def generate(out_dir: str) -> None:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.sql("SET threads TO 4")
+    for table, keys in OFFSET_COLS.items():
+        src = f"{SRC}/{table}.parquet"
+        dst = out / f"{table}.parquet"
+        if not keys:                       # shared dimension: copy as-is
+            con.sql(f"COPY (SELECT * FROM '{src}') TO '{dst}' "
+                    f"(FORMAT PARQUET)")
+            continue
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        sel = ", ".join(
+            f"({c} + r.k * {STRIDE}) AS {c}" if c in keys else c
+            for c in cols)
+        con.sql(
+            f"COPY (SELECT {sel} FROM '{src}', "
+            f"(SELECT unnest(range({REPLICAS})) AS k) r "
+            f"ORDER BY r.k, {keys[0]}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{table}: {n} rows -> {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    generate(sys.argv[1] if len(sys.argv) > 1 else "/tmp/nrt_sf1")
