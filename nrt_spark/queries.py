@@ -63,7 +63,8 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 @q("pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                  AS sum_qty,
-       round(sum(l_extendedprice), 2)                             AS sum_base,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0                                                  AS sum_base,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
                                                                   AS sum_disc_e4,
@@ -80,7 +81,11 @@ def pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-             F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+             # 2-decimal prices sum via exact cents (float-sum fold
+             # order is partitioning-dependent); quantities are
+             # integer-valued, so their float sum is already exact
+             (F.sum(F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")) / 100.0).alias("sum_base"),
              F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
                    * F.round((1 - F.col("l_discount")) * 100).cast("long"))
              .alias("sum_disc_e4"),
@@ -152,7 +157,9 @@ def anti_join_customers(spark, sf_dir):
 
 
 @sub("region_revenue", """
-SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
+SELECT r.r_name AS region,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -171,7 +178,8 @@ def region_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              / 100.0).alias("revenue"),
              F.count("*").alias("n_orders"))
     )
 
@@ -380,20 +388,25 @@ def supplier_part_revenue(spark, sf_dir):
 SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
 FROM orders o
 WHERE o.o_totalprice > 1.8 * (
-  SELECT avg(o2.o_totalprice) FROM orders o2
-  WHERE o2.o_custkey = o.o_custkey)
+  SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / (100.0 * count(*))
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 """)
 def orders_above_cust_avg(spark, sf_dir):
     """Correlated scalar subquery (Catalyst decorrelates it into an
-    aggregate + join — same rewrite a warehouse would do by hand)."""
+    aggregate + join — same rewrite a warehouse would do by hand).
+    The per-customer average goes through exact cents: the filter
+    compares prices AGAINST the average, so a 1-ulp fold-order drift
+    could flip rows sitting exactly on the 1.8x threshold."""
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders_q")
     return spark.sql("""
       SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price
       FROM orders_q o
       WHERE o.o_totalprice > 1.8 * (
-        SELECT avg(o2.o_totalprice) FROM orders_q o2
-        WHERE o2.o_custkey = o.o_custkey)
+        SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) / (100.0 * count(*))
+        FROM orders_q o2 WHERE o2.o_custkey = o.o_custkey)
     """)
 
 
@@ -421,32 +434,52 @@ def pivot_status_qty(spark, sf_dir):
 # Time-series on events: rollups, gap-fill, sequential statistics
 # =========================================================================
 
-@sub("events_rollup_day", """
+#: events.value is exactly 2-decimal; float SUM/AVG fold order differs
+#: between engines once either side splits a group across scan
+#: partitions (first seen in the sf1 dry pass: 1-ulp avg drift landing
+#: on round-6 boundaries).  Every summed aggregate therefore goes
+#: through exact integer cents; min/max/max_by are fold-order-free and
+#: stay on the raw doubles.
+_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _cents_col():
+    return F.round(F.col("value") * 100).cast("long")
+
+
+@sub("events_rollup_day", f"""
 SELECT user_id, date_trunc('day', ts)::DATE AS day,
-       count(value) AS n, round(sum(value), 4) AS vsum,
-       round(avg(value), 6) AS mean,
+       count(value) AS n,
+       CAST(sum({_CENTS_SQL}) AS BIGINT) / 100.0 AS vsum,
+       round(CAST(sum({_CENTS_SQL}) AS BIGINT)
+             / (100.0 * count(value)), 6) AS mean,
        round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
        round(max_by(value, ts), 4) AS last
 FROM events GROUP BY user_id, date_trunc('day', ts)::DATE
 """)
 def events_rollup_day(spark, sf_dir):
     """Tumbling-window continuous aggregate (tier=day) on the event
-    stream — partial+final hash agg, one shuffle."""
+    stream — partial+final hash agg, one shuffle.  vsum/mean via exact
+    integer cents (see _CENTS_SQL): identical doubles on both engines
+    at any partitioning."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(F.count("value").alias("n"),
-             F.round(F.sum("value"), 4).alias("vsum"),
-             F.round(F.avg("value"), 6).alias("mean"),
+             (F.sum(_cents_col()) / 100.0).alias("vsum"),
+             F.round(F.sum(_cents_col())
+                     / (F.count("value") * 100.0), 6).alias("mean"),
              F.round(F.min("value"), 4).alias("vmin"),
              F.round(F.max("value"), 4).alias("vmax"),
              F.round(F.max_by("value", "ts"), 4).alias("last"))
     )
 
 
-@sub("events_rollup_week", """
+@sub("events_rollup_week", f"""
 SELECT user_id, date_trunc('week', ts)::DATE AS week,
-       count(value) AS n, round(avg(value), 6) AS mean,
+       count(value) AS n,
+       round(CAST(sum({_CENTS_SQL}) AS BIGINT)
+             / (100.0 * count(value)), 6) AS mean,
        round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
 FROM events GROUP BY user_id, date_trunc('week', ts)::DATE
 """)
@@ -456,7 +489,8 @@ def events_rollup_week(spark, sf_dir):
         ev.groupBy("user_id",
                    F.date_trunc("week", "ts").cast("date").alias("week"))
         .agg(F.count("value").alias("n"),
-             F.round(F.avg("value"), 6).alias("mean"),
+             F.round(F.sum(_cents_col())
+                     / (F.count("value") * 100.0), 6).alias("mean"),
              F.round(F.min("value"), 4).alias("vmin"),
              F.round(F.max("value"), 4).alias("vmax"))
     )
@@ -537,9 +571,11 @@ def dedup_edit_distance(spark, sf_dir):
             .select("doc_a", "doc_b", "dist"))
 
 
-@sub("events_rollup_month", """
+@sub("events_rollup_month", f"""
 SELECT user_id, date_trunc('month', ts)::DATE AS month,
-       count(value) AS n, round(avg(value), 6) AS mean,
+       count(value) AS n,
+       round(CAST(sum({_CENTS_SQL}) AS BIGINT)
+             / (100.0 * count(value)), 6) AS mean,
        round(max_by(value, ts), 4) AS last
 FROM events GROUP BY user_id, date_trunc('month', ts)::DATE
 """)
@@ -549,15 +585,18 @@ def events_rollup_month(spark, sf_dir):
         ev.groupBy("user_id",
                    F.date_trunc("month", "ts").cast("date").alias("month"))
         .agg(F.count("value").alias("n"),
-             F.round(F.avg("value"), 6).alias("mean"),
+             F.round(F.sum(_cents_col())
+                     / (F.count("value") * 100.0), 6).alias("mean"),
              F.round(F.max_by("value", "ts"), 4).alias("last"))
     )
 
 
-@q("events_gapfill_day", """
+@q("events_gapfill_day", f"""
 WITH day AS (
   SELECT user_id, date_trunc('day', ts)::DATE AS day,
-         count(value) AS n, avg(value) AS mean
+         count(value) AS n,
+         CAST(sum({_CENTS_SQL}) AS BIGINT)
+           / (100.0 * count(value)) AS mean
   FROM events GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, min(day) AS d0, max(day) AS d1 FROM day GROUP BY 1
@@ -600,7 +639,11 @@ def events_gapfill_day(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     day = (ev.groupBy("user_id",
                       F.date_trunc("day", "ts").cast("date").alias("day"))
-           .agg(F.count("value").alias("n"), F.avg("value").alias("mean")))
+           .agg(F.count("value").alias("n"),
+                # exact cents: identical day means on both engines at
+                # any partitioning, so ffill/interp stay identical too
+                (F.sum(_cents_col())
+                 / (F.count("value") * 100.0)).alias("mean")))
     spans = day.groupBy("user_id").agg(F.min("day").alias("d0"),
                                        F.max("day").alias("d1"))
     scaffold = spans.select(
@@ -656,11 +699,19 @@ def events_ewma(spark, sf_dir):
     )
 
 
-@sub("events_cusum", """
+@sub("events_cusum", f"""
 WITH hist AS (
-  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+  SELECT user_id,
+         CAST(sum({_CENTS_SQL}) AS BIGINT) AS sc,
+         CAST(sum({_CENTS_SQL} * {_CENTS_SQL}) AS BIGINT) AS ssq,
          count(*) AS histsize
   FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+), histstats AS (
+  SELECT user_id, histsize,
+         sc / (100.0 * histsize) AS mu,
+         sqrt((ssq / 10000.0 - (sc / 100.0) * (sc / (100.0 * histsize)))
+              / (histsize - 1)) AS sigma
+  FROM hist
 ), mon AS (
   SELECT user_id, value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
 )
@@ -668,18 +719,31 @@ SELECT m.user_id,
        round(sum((m.value - h.mu) / (h.sigma * sqrt(h.histsize))), 6)
          AS process,
        max(h.histsize) AS histsize
-FROM mon m JOIN hist h ON m.user_id = h.user_id
+FROM mon m JOIN histstats h ON m.user_id = h.user_id
 GROUP BY m.user_id
 """)
 def events_cusum(spark, sf_dir):
     """CUSUM final process value: history stats (first 15 days) normalize
     the monitoring-period residual sum (cusum.py:116-131 semantics,
-    history mean as the one-parameter model)."""
+    history mean as the one-parameter model).  mu/sigma come from exact
+    integer-cent moments (sum, sum of squares), so the normalizers are
+    identical doubles on both engines at any partitioning — a 1-ulp
+    drift in them shifts EVERY residual and lands round-6 boundaries at
+    scale.  The residual sum itself stays float (values ~O(10), a few
+    hundred terms: below round-6 visibility)."""
     ev = _t(spark, sf_dir, "events")
+    c = _cents_col()
     hist = (ev.filter(F.col("ts") < "2024-01-16").groupBy("user_id")
-            .agg(F.avg("value").alias("mu"),
-                 F.stddev_samp("value").alias("sigma"),
+            .agg(F.sum(c).alias("sc"),
+                 F.sum(c * c).alias("ssq"),
                  F.count("*").alias("histsize")))
+    hist = hist.select(
+        "user_id", "histsize",
+        (F.col("sc") / (F.col("histsize") * 100.0)).alias("mu"),
+        F.sqrt((F.col("ssq") / 10000.0
+                - (F.col("sc") / 100.0)
+                * (F.col("sc") / (F.col("histsize") * 100.0)))
+               / (F.col("histsize") - 1)).alias("sigma"))
     mon = ev.filter(F.col("ts") >= "2024-01-16").select("user_id", "value")
     return (
         mon.join(hist, "user_id")
@@ -691,28 +755,34 @@ def events_cusum(spark, sf_dir):
     )
 
 
-@sub("events_moving_sum", """
+@sub("events_moving_sum", f"""
 WITH r AS (
   SELECT user_id, ts, event_id, value,
-         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_sum,
+         sum({_CENTS_SQL}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win_cents,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rev
   FROM events
 )
-SELECT user_id, round(win_sum, 6) AS mosum FROM r WHERE rev = 1
+SELECT user_id, round(CAST(win_cents AS BIGINT) / 100.0, 6) AS mosum
+FROM r WHERE rev = 1
 """)
 def events_moving_sum(spark, sf_dir):
-    """MOSUM analog: final 5-observation moving sum per series."""
+    """MOSUM analog: final 5-observation moving sum per series, summed
+    in exact cents (sliding float window sums are evaluated
+    sequentially by Spark but segment-tree pairwise by DuckDB — a
+    fold-order divergence waiting for a round boundary)."""
     ev = _t(spark, sf_dir, "events")
     w_sum = (W.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(-4, 0))
     w_rev = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("win_sum", F.sum("value").over(w_sum))
+        ev.withColumn("win_cents", F.sum(_cents_col()).over(w_sum))
         .withColumn("rev", F.row_number().over(w_rev))
         .filter("rev = 1")
-        .select("user_id", F.round("win_sum", 6).alias("mosum"))
+        .select("user_id",
+                F.round(F.col("win_cents") / 100.0, 6).alias("mosum"))
     )
 
 
