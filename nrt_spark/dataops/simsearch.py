@@ -54,6 +54,90 @@ def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
     )
 
 
+def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     max_rows: int = 200_000) -> DataFrame:
+    """Brute-force all-pairs cosine >= threshold — the RECALL ORACLE
+    for the LSH near-dup path (O(n^2) by design; capped at ``max_rows``
+    with a loud error pointing to :func:`lsh_neardup_pairs` beyond it).
+
+    Physical strategy (replacing a self-join of 2 * n^2 Catalyst
+    higher-order-function dots, which at n=20k ran minutes): the whole
+    (n, dim) matrix is a broadcast variable (n=20k * 64 dims = 10 MB),
+    and each Arrow batch of ids does blocked numpy matmuls against it
+    — ~100x less per-pair work, no join, no shuffle.  Every surviving
+    candidate (threshold minus a slack) is then RE-VERIFIED with the
+    same left-to-right sequential fold the HOF/`list_dot_product`
+    semantics use, so the emitted cosines and the >= threshold cut are
+    bit-identical to the SQL oracle at any partitioning — the matmul
+    only prunes, it never decides.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine rounded
+    half-up to 6 decimals (Spark ``F.round`` semantics).
+    """
+    import decimal
+
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    n = len(pdf)
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_all_pairs is the O(n^2) recall oracle, capped at "
+            f"{max_rows} rows (got {n}); use lsh_neardup_pairs for the "
+            f"scale path")
+    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order]
+    M = np.asarray([np.asarray(v, np.float64)
+                    for v in pdf[vec_col].to_numpy()[order]])
+    # sequential-fold norms: acc = (acc + v_d * v_d), matching the HOF
+    # aggregate and DuckDB's list_dot_product exactly (np.sum is
+    # pairwise and may differ in the last ulp)
+    sq = np.zeros(n)
+    for d in range(M.shape[1]):
+        sq = sq + M[:, d] * M[:, d]
+    nrm = np.sqrt(sq)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Mn = M / nrm[:, None]
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M, nrm, Mn))
+    slack = 1e-6
+    q6 = decimal.Decimal("0.000001")
+
+    def gen(batches):
+        ids_g, M_g, nrm_g, Mn_g = bc.value
+        pos = {int(i): p for p, i in enumerate(ids_g)}
+        for bpdf in batches:
+            a_ids = bpdf[id_col].to_numpy()
+            out = {"vec_a": [], "vec_b": [], "cosine": []}
+            for s in range(0, len(a_ids), 1024):
+                chunk = a_ids[s:s + 1024]
+                ai = np.fromiter((pos[int(i)] for i in chunk),
+                                 dtype=np.int64, count=len(chunk))
+                sims = Mn_g[ai] @ Mn_g.T            # blocked matmul
+                cand = sims >= (threshold - slack)
+                cand &= ids_g[None, :] > chunk[:, None]   # a < b once
+                ii, jj = np.nonzero(cand)
+                if not len(ii):
+                    continue
+                gi = ai[ii]
+                A, B = M_g[gi], M_g[jj]
+                acc = np.zeros(len(ii))
+                for d in range(M_g.shape[1]):       # exact fold
+                    acc = acc + A[:, d] * B[:, d]
+                cos = acc / (nrm_g[gi] * nrm_g[jj])
+                keep = cos >= threshold
+                out["vec_a"].extend(int(x) for x in ids_g[gi[keep]])
+                out["vec_b"].extend(int(x) for x in ids_g[jj[keep]])
+                out["cosine"].extend(
+                    float(decimal.Decimal(repr(c)).quantize(
+                        q6, rounding=decimal.ROUND_HALF_UP))
+                    for c in cos[keep])
+            if out["vec_a"]:
+                yield pd.DataFrame(out)
+
+    return embeddings.select(id_col).mapInPandas(
+        gen, "vec_a long, vec_b long, cosine double")
+
+
 def hyperplanes(dim: int, n_planes: int, seed: str = "nrt") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component (p, d) derives
     from sha256(seed|p|d) -> uniform in [-1, 1).  No RNG state, so any

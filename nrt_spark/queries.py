@@ -1203,23 +1203,15 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.4
 """)
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs — brute-force all-pairs
-    threshold join, O(n^2): retained ONLY as the small-sf recall oracle
-    for ``embedding_neardup_lsh`` (the bucketed scale path below)."""
+    """Embedding-cosine near-duplicate pairs — brute-force all-pairs,
+    O(n^2) by design: retained ONLY as the capped recall oracle for
+    ``embedding_neardup_lsh`` (the bucketed scale path below).  The
+    physical strategy is a broadcast-matrix blocked matmul with an
+    exact sequential-fold re-verify (simsearch.cosine_all_pairs) — the
+    previous HOF self-join computed 2*n^2 per-pair lambda dots and
+    blew the sf1 dry-pass budget."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.transform("embedding", lambda x: x.cast("double"))
-                   .alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.transform("embedding", lambda x: x.cast("double"))
-                   .alias("eb"))
-    cos = SS.cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return SS.cosine_all_pairs(emb, threshold=0.4)
 
 
 def _dedup_clusters_sql() -> str:
