@@ -106,8 +106,8 @@ def main(argv=None) -> int:
                        if args.monitor in ("cusum", "mosum") else {}))
     job = ResumableJob(spark, args.job_id, f"{out}/metrics")
 
-    from nrt_spark.rollup import (TIERS, recover_tier, rollup_cascade,
-                                  rollup_raw, write_tier)
+    from nrt_spark.rollup import (TIERS, _tier_lock, recover_tier,
+                                  rollup_cascade, rollup_raw, write_tier)
     from nrt_spark.tokens import decode_long
 
     # crash recovery FIRST, before any step runs: a previous run (or a
@@ -122,12 +122,20 @@ def main(argv=None) -> int:
     def tier_tables():
         # day tier carries last_ts so late data can later be folded in
         # via upsert_tier (the streaming sink path); week/month cascade
-        # from the WRITTEN day tier — no raw re-scan
-        write_tier(rollup_raw(decode_long(tokens), "day",
-                              with_last_ts=True), tiers_root, "day")
+        # from the WRITTEN day tier — no raw re-scan.  Each write holds
+        # the tier's single-writer lock (failing loudly if a streaming
+        # upserter sharing this root is mid-commit) and uses DYNAMIC
+        # partition overwrite, so the tier root's protocol files are
+        # never clobbered.
+        with _tier_lock(Path(tiers_root) / "tier=day"):
+            write_tier(rollup_raw(decode_long(tokens), "day",
+                                  with_last_ts=True), tiers_root, "day",
+                       dynamic=True)
         day = spark.read.parquet(f"{tiers_root}/tier=day").drop("period")
         for t in ("week", "month"):
-            write_tier(rollup_cascade(day, t), tiers_root, t)
+            with _tier_lock(Path(tiers_root) / f"tier={t}"):
+                write_tier(rollup_cascade(day, t), tiers_root, t,
+                           dynamic=True)
         return None
 
     ran_tiers = job.step("tier_tables", tier_tables)

@@ -77,13 +77,15 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
     """
     import decimal
 
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    n = len(pdf)
+    # enforce the cap BEFORE collecting: the guard must protect the
+    # driver, not fire after a multi-GB toPandas already OOMed it
+    n = embeddings.count()
     if n > max_rows:
         raise ValueError(
             f"cosine_all_pairs is the O(n^2) recall oracle, capped at "
             f"{max_rows} rows (got {n}); use lsh_neardup_pairs for the "
             f"scale path")
+    pdf = embeddings.select(id_col, vec_col).toPandas()
     order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
     ids = pdf[id_col].to_numpy()[order]
     M = np.asarray([np.asarray(v, np.float64)
@@ -95,15 +97,20 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
     for d in range(M.shape[1]):
         sq = sq + M[:, d] * M[:, d]
     nrm = np.sqrt(sq)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        Mn = M / nrm[:, None]
     spark = embeddings.sparkSession
-    bc = spark.sparkContext.broadcast((ids, M, nrm, Mn))
+    # broadcast only the raw matrix + norms; the normalized copy is
+    # derivable and would double the shipped bytes.  The broadcast's
+    # lifetime is tied to the returned plan's closure — Spark's
+    # ContextCleaner reclaims the blocks once the result DataFrame is
+    # garbage-collected.
+    bc = spark.sparkContext.broadcast((ids, M, nrm))
     slack = 1e-6
     q6 = decimal.Decimal("0.000001")
 
     def gen(batches):
-        ids_g, M_g, nrm_g, Mn_g = bc.value
+        ids_g, M_g, nrm_g = bc.value
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Mn_g = M_g / nrm_g[:, None]
         pos = {int(i): p for p, i in enumerate(ids_g)}
         for bpdf in batches:
             a_ids = bpdf[id_col].to_numpy()

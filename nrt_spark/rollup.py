@@ -174,13 +174,23 @@ def gapfill(rollup_df: DataFrame, tier: str,
     return out.withColumn("n", F.coalesce("n", F.lit(0)))
 
 
-def write_tier(df: DataFrame, base_path: str, tier: str) -> None:
+def write_tier(df: DataFrame, base_path: str, tier: str,
+               dynamic: bool = False) -> None:
     """Persist a tier table partitioned by calendar period so retention
     expiry is a partition drop (Iceberg ``days(ts)`` partitioning analog).
+
+    ``dynamic=True`` switches to dynamic partition overwrite: only the
+    ``period=*`` partitions present in ``df`` are replaced and the tier
+    ROOT is left alone — required when the tier dir also carries
+    protocol files (``.upsert.lock``, staged-commit state) that a full
+    ``mode("overwrite")`` would silently delete out from under a
+    concurrent writer.
     """
-    (df.withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
-       .write.mode("overwrite").partitionBy("period")
-       .parquet(f"{base_path}/tier={tier}"))
+    w = (df.withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
+         .write.mode("overwrite").partitionBy("period"))
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(f"{base_path}/tier={tier}")
 
 
 def _upsert_paths(tier_path: Path) -> tuple[Path, Path, Path]:
@@ -229,37 +239,50 @@ def _tier_lock(tier_path: Path):
     tier_path.mkdir(parents=True, exist_ok=True)
     lock = tier_path / ".upsert.lock"
     me = {"pid": os.getpid(), "host": socket.gethostname()}
-    for attempt in ("first", "after-steal"):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                holder = json.loads(lock.read_text())
-            except (OSError, ValueError):
-                holder = {}
-            stale = False
-            if attempt == "first" and holder.get("host") == me["host"]:
-                try:
-                    os.kill(int(holder.get("pid", -1)), 0)
-                except (OSError, ValueError):
-                    stale = True          # same host, holder dead
-            if not stale:
-                raise TierLockedError(
-                    f"tier {tier_path} is locked by another upsert "
-                    f"writer ({holder or 'unreadable lock'}); concurrent "
-                    f"upsert/recover per tier is not supported — wait for "
-                    f"it, or remove {lock} if the holder is confirmed "
-                    f"dead") from None
-            log.warning("stealing stale upsert lock %s from dead "
-                        "same-host pid %s", lock, holder.get("pid"))
-            with contextlib.suppress(OSError):
-                lock.unlink()
-    else:  # pragma: no cover - loop always breaks or raises
-        raise TierLockedError(f"could not acquire {lock}")
+    # acquire = hard-link a fully written per-pid tmp file onto the
+    # lock name: atomic (link fails if the name exists) AND the lock
+    # can never be observed empty — a crash between an O_EXCL create
+    # and the content write would leave an unreadable lock that the
+    # staleness probe below could never clear
+    tmp = tier_path / f".upsert.lock.{os.getpid()}.tmp"
+    tmp.write_text(json.dumps(me))
     try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(me, fh)
+        for attempt in ("first", "after-steal"):
+            try:
+                os.link(tmp, lock)
+                break
+            except FileExistsError:
+                try:
+                    holder = json.loads(lock.read_text())
+                except (OSError, ValueError):
+                    holder = {}
+                stale = False
+                if attempt == "first" and holder.get("host") == me["host"]:
+                    try:
+                        os.kill(int(holder.get("pid", -1)), 0)
+                    except (ProcessLookupError, ValueError):
+                        stale = True      # same host, holder GONE
+                    except OSError:
+                        # PermissionError (EPERM) means the pid EXISTS
+                        # under another uid — a live writer, never steal
+                        pass
+                if not stale:
+                    raise TierLockedError(
+                        f"tier {tier_path} is locked by another upsert "
+                        f"writer ({holder or 'unreadable lock'}); "
+                        f"concurrent upsert/recover per tier is not "
+                        f"supported — wait for it, or remove {lock} if "
+                        f"the holder is confirmed dead") from None
+                log.warning("stealing stale upsert lock %s from dead "
+                            "same-host pid %s", lock, holder.get("pid"))
+                with contextlib.suppress(OSError):
+                    lock.unlink()
+        else:  # pragma: no cover - loop always breaks or raises
+            raise TierLockedError(f"could not acquire {lock}")
+    finally:
+        with contextlib.suppress(OSError):
+            tmp.unlink()
+    try:
         yield
     finally:
         with contextlib.suppress(OSError):

@@ -16,8 +16,10 @@ what matters is determinism and FK consistency:
 - text/embedding payloads are NOT perturbed: replicas are exact
   duplicates, which deliberately stresses the dedup/ANN surface
   (cross-replica duplicate groups, cosine==1 ties — broken by id on
-  both engines) and the IVF hash-threshold sample branch (20k vectors
-  > the 4x10k oversample cutoff).
+  both engines).  NOTE: 20k vectors is still BELOW ivf_train's
+  hash-threshold sample cutoff (4x the 10k default sample), so the
+  dry pass exercises the unfiltered IVF branch; the filtered branch
+  is covered by tests/test_dataops.py::test_ivf_train_hash_sample_path.
 
 Usage: python tools/gen_sf1.py [OUT_DIR]   (default /tmp/nrt_sf1)
 """

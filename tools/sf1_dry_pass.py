@@ -22,8 +22,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SLACK = 3.0          # sf1/sf0.1 ratio above 10*SLACK flags superlinear
 SF01 = "/root/testdata/sf0.1"
@@ -115,11 +118,16 @@ def main() -> int:
             rec["spark_sec"] = round(time.time() - t0, 2)
             rec["rows"] = len(sdf)
             if args.baseline_sf01:
-                os.environ["NRT_TEST_SF_DIR"] = SF01
-                t0 = time.time()
-                Q.queries()[name](spark, SF01).toPandas()
-                rec["spark_sec_sf01"] = round(time.time() - t0, 2)
-                os.environ["NRT_TEST_SF_DIR"] = sf1
+                # restore in a finally: a throw here would leave every
+                # LATER query's data-dependent oracle generator reading
+                # sf0.1 while Spark runs sf1 (spurious FAILs)
+                try:
+                    os.environ["NRT_TEST_SF_DIR"] = SF01
+                    t0 = time.time()
+                    Q.queries()[name](spark, SF01).toPandas()
+                    rec["spark_sec_sf01"] = round(time.time() - t0, 2)
+                finally:
+                    os.environ["NRT_TEST_SF_DIR"] = sf1
             if name in oracle and not args.no_oracle:
                 sql = oracle[name]
                 sql = sql() if callable(sql) else sql
