@@ -348,21 +348,11 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
         .alias("table_idx", "bucket"))
 
 
-def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
-                      n_planes: int = 4, n_tables: int = 16,
-                      seed: str = "nrt", vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
-    """Near-duplicate pair mining without a cross join: the scale-safe
-    twin of the brute-force all-pairs threshold join.
-
-    Plan shape: (1) one scan computing ``n_tables`` bucket ids per
-    vector, (2) a self-join on (table_idx, bucket) — the shuffle key is
-    the bucket hash, never an inequality — (3) ``distinct`` candidate
-    ids, (4) two id-joins to fetch the vectors, (5) exact cosine filter.
-    Expected recall vs brute force is 1-(1-p^b)^T with
-    p = 1 - theta/pi; defaults (b=4, T=16) give ~0.94 at cosine 0.4.
-    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
-    """
+def _lsh_mine_pairs(embeddings: DataFrame, threshold: float,
+                    n_planes: int, n_tables: int, seed: str,
+                    vec_col: str, id_col: str) -> DataFrame:
+    """The core LSH pair miner over a table of (assumed distinct)
+    vectors: bucket self-join candidates + exact cosine verify."""
     assigned = lsh_multi_assign(embeddings, n_planes, n_tables, seed,
                                 vec_col, id_col)
     a = assigned.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
@@ -378,6 +368,72 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
             .withColumn("cos_raw", cos)
             .filter(F.col("cos_raw") >= threshold)
             .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine")))
+
+
+def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
+                      n_planes: int = 4, n_tables: int = 16,
+                      seed: str = "nrt", vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      collapse_duplicates: bool = True) -> DataFrame:
+    """Near-duplicate pair mining without a cross join: the scale-safe
+    twin of the brute-force all-pairs threshold join.
+
+    Plan shape: (1) one scan computing ``n_tables`` bucket ids per
+    vector, (2) a self-join on (table_idx, bucket) — the shuffle key is
+    the bucket hash, never an inequality — (3) ``distinct`` candidate
+    ids, (4) two id-joins to fetch the vectors, (5) exact cosine filter.
+    Expected recall vs brute force is 1-(1-p^b)^T with
+    p = 1 - theta/pi; defaults (b=4, T=16) give ~0.94 at cosine 0.4.
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+
+    ``collapse_duplicates`` (default on) guards the quadratic failure
+    mode the sf1 dry pass measured: identical vectors land in identical
+    buckets, so k copies of a vector multiply the bucket self-join's
+    candidate pairs by k^2 (10x exact-duplicate replicas -> 127.7M
+    candidates vs ~1.3M distinct).  The miner therefore groups BY THE
+    VECTOR VALUE first (exact equality — no hash, so distinct vectors
+    can never merge), mines pairs over one representative per group,
+    and expands the surviving pairs back through the duplicate groups.
+    Identical vectors share plane signs and cosines exactly, so the
+    output pair set is IDENTICAL to the uncollapsed miner's (pinned by
+    the cross-engine oracle, whose SQL still computes over the full
+    table); only the candidate volume changes.  Intra-group pairs get
+    the engine-computed self-cosine (s/(sqrt(s)*sqrt(s)), which may
+    differ from 1.0 in the last ulp — same value either path).  NOTE:
+    vectors containing NaN never equal themselves and are passed
+    through uncollapsed, exactly like the uncollapsed path treats them.
+    """
+    if not collapse_duplicates:
+        return _lsh_mine_pairs(embeddings, threshold, n_planes, n_tables,
+                               seed, vec_col, id_col)
+    groups = (embeddings.groupBy(vec_col)
+              .agg(F.min(id_col).alias("rep"),
+                   F.collect_list(id_col).alias("members"),
+                   F.count("*").alias("m")))
+    reps = groups.select(F.col("rep").alias(id_col), vec_col)
+    rep_pairs = _lsh_mine_pairs(reps, threshold, n_planes, n_tables,
+                                seed, vec_col, id_col)
+    ga = groups.select(F.col("rep").alias("id_a"),
+                       F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("id_b"),
+                       F.col("members").alias("mb"))
+    cross = (rep_pairs.join(ga, "id_a").join(gb, "id_b")
+             .select("cosine", F.explode("ma").alias("x"), "mb")
+             .select("cosine", "x", F.explode("mb").alias("y"))
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"), "cosine"))
+    cast_vec = F.transform(F.col(vec_col), lambda z: z.cast("double"))
+    self_cos = cosine_similarity(cast_vec, cast_vec)
+    intra = (groups.filter(F.col("m") >= 2)
+             .withColumn("cos_raw", self_cos)
+             .filter(F.col("cos_raw") >= threshold)
+             .select(F.round("cos_raw", 6).alias("cosine"),
+                     F.explode("members").alias("x"), "members")
+             .select("cosine", "x", F.explode("members").alias("y"))
+             .filter(F.col("x") < F.col("y"))
+             .select(F.col("x").alias("id_a"), F.col("y").alias("id_b"),
+                     "cosine"))
+    return cross.select("id_a", "id_b", "cosine").unionAll(intra)
 
 
 def lsh_probe_buckets(probe: list[float], n_planes: int, n_tables: int,
