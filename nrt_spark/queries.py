@@ -556,19 +556,45 @@ def dedup_edit_distance(spark, sf_dir):
     (lang, length-band) to bound the pair count (classic DP levenshtein
     computes identically in any engine).  Threshold 20 on 30-char
     prefixes keeps the result non-empty at every test sf (<=12 passed
-    degenerately with 0 rows)."""
+    degenerately with 0 rows).
+
+    Duplicate collapse (same guard the LSH miner grew after the sf1
+    dry pass): docs sharing an identical (lang, band, prefix) key
+    would recompute the same levenshtein k^2 times and quadratically
+    inflate the block join under duplicate-heavy data — group them
+    first, run the DP once per distinct-prefix pair, and expand the
+    surviving pairs back through the groups (intra-group pairs have
+    distance 0 by definition).  Output pair set identical; the oracle
+    SQL still computes over the full table."""
     p = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 30).alias("prefix"),
         (F.col("n_chars") % 5).alias("b"))
-    a = p.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
-                 F.col("prefix").alias("pa"), F.col("b").alias("ba"))
-    bb = p.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
-                  F.col("prefix").alias("pb"), F.col("b").alias("bb"))
-    return (a.join(bb, (F.col("la") == F.col("lb")) & (F.col("ba") == F.col("bb"))
-                   & (F.col("doc_a") < F.col("doc_b")))
-            .withColumn("dist", F.levenshtein("pa", "pb"))
-            .filter(F.col("dist") <= 20)
-            .select("doc_a", "doc_b", "dist"))
+    groups = (p.groupBy("lang", "b", "prefix")
+              .agg(F.min("doc_id").alias("rep"),
+                   F.collect_list("doc_id").alias("members"),
+                   F.count("*").alias("m")))
+    ga = groups.select(F.col("rep").alias("ra"), F.col("lang").alias("la"),
+                       F.col("b").alias("ba"), F.col("prefix").alias("pa"),
+                       F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("rb"), F.col("lang").alias("lb"),
+                       F.col("b").alias("bb"), F.col("prefix").alias("pb"),
+                       F.col("members").alias("mb"))
+    cross = (ga.join(gb, (F.col("la") == F.col("lb"))
+                     & (F.col("ba") == F.col("bb"))
+                     & (F.col("ra") < F.col("rb")))
+             .withColumn("dist", F.levenshtein("pa", "pb"))
+             .filter(F.col("dist") <= 20)
+             .select("dist", F.explode("ma").alias("x"), "mb")
+             .select("dist", "x", F.explode("mb").alias("y"))
+             .select(F.least("x", "y").alias("doc_a"),
+                     F.greatest("x", "y").alias("doc_b"), "dist"))
+    intra = (groups.filter(F.col("m") >= 2)
+             .select(F.explode("members").alias("x"), "members")
+             .select("x", F.explode("members").alias("y"))
+             .filter(F.col("x") < F.col("y"))
+             .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"),
+                     F.lit(0).cast("int").alias("dist")))
+    return cross.unionAll(intra)
 
 
 @sub("events_rollup_month", f"""
