@@ -366,6 +366,69 @@ def test_ivf_train_hash_sample_path(spark):
     np.testing.assert_array_equal(C1, C_twin)   # cross-engine bit-exact
 
 
+def test_lsh_neardup_duplicate_collapse_equivalence(spark):
+    """The duplicate-collapse path must emit EXACTLY the pair set of
+    the uncollapsed miner on duplicate-heavy data — the small-sf driver
+    tables have unique vectors, so this is the semantics pin for the
+    branch the sf1 pass exercised (identical buckets, identical
+    cosines, intra-group self-cosine included)."""
+    import pandas as pd
+
+    from nrt_spark.dataops.simsearch import lsh_neardup_pairs
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    # 3 replicas of every vector with offset ids (the sf1 shape)
+    dup = base
+    for k in (1, 2):
+        dup = dup.unionAll(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(10_000 * k)))
+
+    def norm(df):
+        return (df.toPandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    got = norm(lsh_neardup_pairs(dup, threshold=0.4, n_planes=4,
+                                 n_tables=16, collapse_duplicates=True))
+    want = norm(lsh_neardup_pairs(dup, threshold=0.4, n_planes=4,
+                                  n_tables=16, collapse_duplicates=False))
+    # duplicates must actually be present for this to prove anything:
+    # every vector has 3 copies -> at least C(3,2)*120 intra pairs
+    assert len(want) >= 3 * 120
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_edit_distance_duplicate_collapse_equivalence(spark, tmp_path):
+    """dedup_edit_distance's prefix-group collapse vs a direct
+    DuckDB run of its own oracle SQL on duplicate-heavy constructed
+    documents (3 replicas of each sf0.001 doc) — identical pair set,
+    including the distance-0 intra-group pairs."""
+    import duckdb
+    import pandas as pd
+
+    from nrt_spark import queries as Q
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(150)
+    dup = base
+    for k in (1, 2):
+        dup = dup.unionAll(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(10_000 * k)))
+    dup.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = (Q.dedup_edit_distance(spark, str(tmp_path)).toPandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    # Spark writes a directory; DuckDB needs the part-file glob
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    want = (con.sql(Q.oracle_sql()["dedup_edit_distance"]).df()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) >= 3 * 150          # intra-group zeros present
+    pd.testing.assert_frame_equal(
+        got.astype({"dist": "int64"}), want.astype({"dist": "int64"}))
+
+
 def test_ann_oracle_sign_margins():
     """Guard for the cross-engine ANN oracles' latent fragility: they
     compare sign-threshold (LSH plane dots) and argmax (IVF cell)
