@@ -122,20 +122,25 @@ def main(argv=None) -> int:
     def tier_tables():
         # day tier carries last_ts so late data can later be folded in
         # via upsert_tier (the streaming sink path); week/month cascade
-        # from the WRITTEN day tier — no raw re-scan.  Each write holds
-        # the tier's single-writer lock (failing loudly if a streaming
-        # upserter sharing this root is mid-commit) and uses DYNAMIC
-        # partition overwrite, so the tier root's protocol files are
-        # never clobbered.
+        # from the WRITTEN day tier — no raw re-scan.  Writes use
+        # DYNAMIC partition overwrite (+ stale-partition pruning), so
+        # the tier roots' protocol files are never clobbered, and the
+        # DAY lock is held for the WHOLE step: the cascade re-reads the
+        # day tier, and a streaming upserter slipping in between the
+        # day write and that read would rename files out from under the
+        # captured scan (or leak a half-upserted day view into
+        # week/month).  Lock order day -> week -> month is fixed, so no
+        # deadlock with any same-ordered writer.
         with _tier_lock(Path(tiers_root) / "tier=day"):
             write_tier(rollup_raw(decode_long(tokens), "day",
                                   with_last_ts=True), tiers_root, "day",
                        dynamic=True)
-        day = spark.read.parquet(f"{tiers_root}/tier=day").drop("period")
-        for t in ("week", "month"):
-            with _tier_lock(Path(tiers_root) / f"tier={t}"):
-                write_tier(rollup_cascade(day, t), tiers_root, t,
-                           dynamic=True)
+            day = (spark.read.parquet(f"{tiers_root}/tier=day")
+                   .drop("period"))
+            for t in ("week", "month"):
+                with _tier_lock(Path(tiers_root) / f"tier={t}"):
+                    write_tier(rollup_cascade(day, t), tiers_root, t,
+                               dynamic=True)
         return None
 
     ran_tiers = job.step("tier_tables", tier_tables)

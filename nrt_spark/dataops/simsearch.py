@@ -316,8 +316,8 @@ def ivf_topk(embeddings: DataFrame, probe: list[float],
 
 def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
                      n_tables: int = 16, seed: str = "nrt",
-                     vec_col: str = "embedding", id_col: str = "vec_id"
-                     ) -> DataFrame:
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     dim: "int | None" = None) -> DataFrame:
     """Assign each vector one bucket per hash table (OR-amplified LSH).
 
     ``n_tables`` independent plane sets (seed-derived, table t uses seed
@@ -326,9 +326,12 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
     matmul per Arrow batch inside a pandas UDF — inlining 64 plane
     literals as Catalyst higher-order-function dots measured ~10x
     slower (huge generated expression tree, per-row lambda evaluation).
-    Output: (id, table_idx, bucket).
+    Output: (id, table_idx, bucket).  ``dim`` skips the one-row probe
+    action — pass it when ``embeddings`` is itself an expensive plan
+    (e.g. an aggregate) whose first() would run the whole job eagerly.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     P = np.concatenate([hyperplanes(dim, n_planes, f"{seed}-{t}")
                         for t in range(n_tables)])        # (T*b, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -350,11 +353,12 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
 
 def _lsh_mine_pairs(embeddings: DataFrame, threshold: float,
                     n_planes: int, n_tables: int, seed: str,
-                    vec_col: str, id_col: str) -> DataFrame:
+                    vec_col: str, id_col: str,
+                    dim: "int | None" = None) -> DataFrame:
     """The core LSH pair miner over a table of (assumed distinct)
     vectors: bucket self-join candidates + exact cosine verify."""
     assigned = lsh_multi_assign(embeddings, n_planes, n_tables, seed,
-                                vec_col, id_col)
+                                vec_col, id_col, dim=dim)
     a = assigned.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     b = assigned.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (a.join(b, ["table_idx", "bucket"])
@@ -399,20 +403,28 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     the cross-engine oracle, whose SQL still computes over the full
     table); only the candidate volume changes.  Intra-group pairs get
     the engine-computed self-cosine (s/(sqrt(s)*sqrt(s)), which may
-    differ from 1.0 in the last ulp — same value either path).  NOTE:
-    vectors containing NaN never equal themselves and are passed
-    through uncollapsed, exactly like the uncollapsed path treats them.
+    differ from 1.0 in the last ulp — same value either path).  NOTE on
+    NaN-containing vectors: Spark SQL normalizes NaN for aggregation
+    keys, so identical NaN-containing vectors DO collapse into one
+    group; their cosines are NaN on both paths and NaN fails the
+    ``>= threshold`` filter identically, so the output is still
+    equivalent — but candidate-volume telemetry counts them once per
+    group here vs once per copy uncollapsed.
     """
     if not collapse_duplicates:
         return _lsh_mine_pairs(embeddings, threshold, n_planes, n_tables,
                                seed, vec_col, id_col)
+    # probe the dimension on the BASE table (one-row short-circuit
+    # scan) — probing on the reps aggregate would eagerly run the
+    # whole group-by shuffle at plan-build time
+    dim = len(embeddings.select(vec_col).first()[0])
     groups = (embeddings.groupBy(vec_col)
               .agg(F.min(id_col).alias("rep"),
                    F.collect_list(id_col).alias("members"),
                    F.count("*").alias("m")))
     reps = groups.select(F.col("rep").alias(id_col), vec_col)
     rep_pairs = _lsh_mine_pairs(reps, threshold, n_planes, n_tables,
-                                seed, vec_col, id_col)
+                                seed, vec_col, id_col, dim=dim)
     ga = groups.select(F.col("rep").alias("id_a"),
                        F.col("members").alias("ma"))
     gb = groups.select(F.col("rep").alias("id_b"),

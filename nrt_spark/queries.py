@@ -569,6 +569,12 @@ def dedup_edit_distance(spark, sf_dir):
     p = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.substring("text", 1, 30).alias("prefix"),
         (F.col("n_chars") % 5).alias("b"))
+    # NULL keys never matched in the join form (NULL = NULL is not
+    # true in SQL, and levenshtein(NULL, x) <= 20 is NULL-false), but
+    # groupBy treats NULLs as equal — drop them up front so the
+    # collapsed pair set stays identical to the oracle's
+    p = p.filter(F.col("lang").isNotNull() & F.col("b").isNotNull()
+                 & F.col("prefix").isNotNull())
     groups = (p.groupBy("lang", "b", "prefix")
               .agg(F.min("doc_id").alias("rep"),
                    F.collect_list("doc_id").alias("members"),

@@ -184,13 +184,27 @@ def write_tier(df: DataFrame, base_path: str, tier: str,
     ROOT is left alone — required when the tier dir also carries
     protocol files (``.upsert.lock``, staged-commit state) that a full
     ``mode("overwrite")`` would silently delete out from under a
-    concurrent writer.
+    concurrent writer.  To keep full-overwrite SEMANTICS (the written
+    tier equals exactly the rollup of ``df`` — a rerun with narrower
+    input must not leave stale months behind to poison cascades),
+    period partitions NOT present in ``df`` are pruned after the
+    write; callers must hold the tier's writer lock in dynamic mode.
     """
-    w = (df.withColumn("period", F.date_format("bucket_start", "yyyy-MM"))
-         .write.mode("overwrite").partitionBy("period"))
-    if dynamic:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.parquet(f"{base_path}/tier={tier}")
+    out = (df.withColumn("period",
+                         F.date_format("bucket_start", "yyyy-MM")))
+    w = out.write.mode("overwrite").partitionBy("period")
+    if not dynamic:
+        w.parquet(f"{base_path}/tier={tier}")
+        return
+    w.option("partitionOverwriteMode", "dynamic") \
+        .parquet(f"{base_path}/tier={tier}")
+    written = {r["period"] for r in
+               out.select("period").distinct().collect()}
+    for d in Path(f"{base_path}/tier={tier}").glob("period=*"):
+        if d.name.split("=", 1)[1] not in written:
+            log.warning("write_tier: pruning stale partition %s "
+                        "(not present in the new data)", d)
+            shutil.rmtree(d)
 
 
 def _upsert_paths(tier_path: Path) -> tuple[Path, Path, Path]:
@@ -219,74 +233,57 @@ class TierLockedError(RuntimeError):
 
 @contextlib.contextmanager
 def _tier_lock(tier_path: Path):
-    """Single-writer guard for the staged-swap protocol: an O_EXCL
-    ``.upsert.lock`` file in the tier dir, held across
+    """Single-writer guard for the staged-swap protocol: an ``flock``
+    on ``.upsert.lock`` in the tier dir, held across
     recover → stage → publish → cleanup.
 
     The staged-swap paths (staging dir, manifest, backups) are fixed
     per-tier names, so two concurrent upserts — or a standalone
     ``recover_tier`` during one — would corrupt a publish on a shared
     filesystem.  Contention fails loudly (:class:`TierLockedError` with
-    the holder's pid/host/time) rather than blocking: tier maintenance
-    is a scheduled job, and a second writer is a deployment error.
+    the holder's recorded pid/host) rather than blocking: tier
+    maintenance is a scheduled job, and a second writer is a
+    deployment error.
 
-    A lock left by a crashed SAME-HOST process (pid no longer alive) is
-    stolen automatically, so crash recovery stays hands-off; a lock
-    from another host is never stolen (no cross-host liveness check on
-    a shared filesystem) and must be removed by the operator after
-    confirming the holder is gone.
+    Why flock and not a create-exclusively lock FILE: the kernel
+    releases an flock the instant its holder dies, so a crashed writer
+    never wedges the tier and there is NO staleness probe — which also
+    removes the probe's races (two stealers observing the same dead
+    holder can each unlink the other's freshly created lock file and
+    both "win"; an EPERM from ``os.kill`` is ambiguous; a kill between
+    create and write leaves an unreadable lock).  The lock file itself
+    is never deleted (unlinking an flocked path lets a second writer
+    lock a NEW inode under the same name); its JSON content is purely
+    diagnostic.  Cross-host: flock propagates on NFSv4 — on filesystems
+    without remote flock semantics the guard is same-host only, like
+    any advisory lock.
     """
+    import fcntl
+
     tier_path.mkdir(parents=True, exist_ok=True)
     lock = tier_path / ".upsert.lock"
-    me = {"pid": os.getpid(), "host": socket.gethostname()}
-    # acquire = hard-link a fully written per-pid tmp file onto the
-    # lock name: atomic (link fails if the name exists) AND the lock
-    # can never be observed empty — a crash between an O_EXCL create
-    # and the content write would leave an unreadable lock that the
-    # staleness probe below could never clear
-    tmp = tier_path / f".upsert.lock.{os.getpid()}.tmp"
-    tmp.write_text(json.dumps(me))
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
-        for attempt in ("first", "after-steal"):
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
-                os.link(tmp, lock)
-                break
-            except FileExistsError:
-                try:
-                    holder = json.loads(lock.read_text())
-                except (OSError, ValueError):
-                    holder = {}
-                stale = False
-                if attempt == "first" and holder.get("host") == me["host"]:
-                    try:
-                        os.kill(int(holder.get("pid", -1)), 0)
-                    except (ProcessLookupError, ValueError):
-                        stale = True      # same host, holder GONE
-                    except OSError:
-                        # PermissionError (EPERM) means the pid EXISTS
-                        # under another uid — a live writer, never steal
-                        pass
-                if not stale:
-                    raise TierLockedError(
-                        f"tier {tier_path} is locked by another upsert "
-                        f"writer ({holder or 'unreadable lock'}); "
-                        f"concurrent upsert/recover per tier is not "
-                        f"supported — wait for it, or remove {lock} if "
-                        f"the holder is confirmed dead") from None
-                log.warning("stealing stale upsert lock %s from dead "
-                            "same-host pid %s", lock, holder.get("pid"))
-                with contextlib.suppress(OSError):
-                    lock.unlink()
-        else:  # pragma: no cover - loop always breaks or raises
-            raise TierLockedError(f"could not acquire {lock}")
-    finally:
-        with contextlib.suppress(OSError):
-            tmp.unlink()
-    try:
+                holder = json.loads(lock.read_text())
+            except (OSError, ValueError):
+                holder = {}
+            raise TierLockedError(
+                f"tier {tier_path} is locked by another upsert writer "
+                f"({holder or 'holder info unavailable'}); concurrent "
+                f"upsert/recover per tier is not supported — wait for "
+                f"the holder to finish (a crashed holder's lock is "
+                f"released by the kernel automatically)") from None
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps(
+            {"pid": os.getpid(), "host": socket.gethostname()}).encode())
+        os.fsync(fd)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            lock.unlink()
+        os.close(fd)          # releases the flock; the file stays
 
 
 def recover_tier(base_path: str, tier: str, _locked: bool = False) -> str:

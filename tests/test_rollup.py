@@ -490,14 +490,15 @@ def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch,
 
 
 def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
-    """The .upsert.lock guard: a held lock makes upsert_tier and
-    standalone recover_tier fail loudly (instead of a concurrent
-    recover rolling back another writer's in-flight commit); a stale
-    same-host lock from a dead pid is stolen; foreign-host locks are
-    never stolen."""
+    """The .upsert.lock flock guard: while another writer HOLDS the
+    lock, upsert_tier and standalone recover_tier fail loudly (instead
+    of a concurrent recover rolling back the holder's in-flight
+    commit); once released — which the kernel also does automatically
+    when a holder dies — acquisition succeeds, with no staleness
+    probing or lock stealing to race."""
+    import fcntl
     import json as _json
     import os as _os
-    import socket as _socket
 
     from nrt_spark.rollup import (TierLockedError, recover_tier,
                                   rollup_raw, upsert_tier, write_tier)
@@ -505,25 +506,57 @@ def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
     base = str(tmp_path)
     write_tier(rollup_raw(long_df, "day", with_last_ts=True), base, "day")
     lock = tmp_path / "tier=day" / ".upsert.lock"
-    me = _socket.gethostname()
 
-    # live same-host holder (this very pid) -> loud contention failure
-    lock.write_text(_json.dumps({"pid": _os.getpid(), "host": me}))
-    with pytest.raises(TierLockedError, match="locked by another"):
-        upsert_tier(spark, base, "day", long_df.limit(5))
-    with pytest.raises(TierLockedError):
-        recover_tier(base, "day")
+    # hold the flock (an independent fd conflicts even in-process) and
+    # record holder info like a real writer would
+    lock.write_text(_json.dumps({"pid": 999999, "host": "other-writer"}))
+    fd = _os.open(lock, _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(TierLockedError, match="locked by another"):
+            upsert_tier(spark, base, "day", long_df.limit(5))
+        with pytest.raises(TierLockedError, match="other-writer"):
+            recover_tier(base, "day")
+    finally:
+        _os.close(fd)                       # = holder finished or died
 
-    # foreign-host holder: no cross-host liveness check -> never stolen
-    lock.write_text(_json.dumps({"pid": 1, "host": f"not-{me}"}))
-    with pytest.raises(TierLockedError):
-        upsert_tier(spark, base, "day", long_df.limit(5))
-
-    # dead same-host holder -> stolen, upsert proceeds, lock released
-    lock.write_text(_json.dumps({"pid": 2**22 + 12345, "host": me}))
+    # a leftover lock FILE without a holder is just diagnostics — the
+    # flock is gone, so the next writer acquires immediately
+    assert lock.exists()
     stats = upsert_tier(spark, base, "day", long_df.limit(5))
     assert stats["periods"]
-    assert not lock.exists()
+    assert lock.exists()                    # never unlinked (by design)
+
+
+def test_write_tier_dynamic_prunes_stale_partitions(spark, long_df,
+                                                    tmp_path):
+    """dynamic=True must keep full-overwrite SEMANTICS: a rerun with
+    narrower input prunes the period partitions the new data no longer
+    covers (stale months must not poison cascades) while leaving root
+    protocol files untouched."""
+    from pyspark.sql import functions as F
+
+    from nrt_spark.rollup import rollup_raw, write_tier
+
+    base = str(tmp_path)
+    day = rollup_raw(long_df, "day")
+    write_tier(day, base, "day", dynamic=True)
+    periods = sorted(p.name for p in
+                     (tmp_path / "tier=day").glob("period=*"))
+    assert len(periods) >= 2
+    marker = tmp_path / "tier=day" / ".upsert.lock"
+    marker.write_text("{}")                 # root protocol file
+
+    keep = periods[0].split("=", 1)[1]
+    write_tier(day.filter(
+        F.date_format("bucket_start", "yyyy-MM") == keep),
+        base, "day", dynamic=True)
+    left = sorted(p.name for p in
+                  (tmp_path / "tier=day").glob("period=*"))
+    assert left == [f"period={keep}"]       # stale periods pruned
+    assert marker.exists()                  # protocol file survived
+    assert (spark.read.parquet(f"{base}/tier=day")
+            .select("period").distinct().count() == 1)
 
 
 def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
