@@ -54,6 +54,17 @@ def test_neardup_plans_have_no_cross_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_brute_pairs_plan_is_scan_plus_mapinpandas(spark):
+    """The rewritten recall oracle (cosine_all_pairs): the matrix rides
+    a broadcast VARIABLE, so the Spark plan must move only the id
+    column — no join, no Exchange, ReadSchema pruned to vec_id."""
+    plan = plan_of(Q.queries()["embedding_neardup_pairs"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "embedding" not in plan.split("ReadSchema")[-1][:200]
+
+
 def test_fastpath_has_no_exchange(spark):
     """The north-rule job is a single mapInPandas pass: scaling bounded
     by input splits only."""
