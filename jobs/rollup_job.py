@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     ap.add_argument("--compact-target-mb", type=int, default=0,
                     help="when > 0, add a small-file compaction step "
                          "over the block partitions")
+    ap.add_argument("--full-refresh", action="store_true",
+                    help="tier_tables prunes period partitions absent "
+                         "from this run's input (authoritative "
+                         "recompute). Default preserves them — they "
+                         "may be streaming-upserted late data")
     ap.add_argument("--bucketed-layout", action="store_true",
                     help="write the token table bucket-partitioned on "
                          "doc_id as an explicit (resumable) ingest step, "
@@ -123,24 +128,33 @@ def main(argv=None) -> int:
         # day tier carries last_ts so late data can later be folded in
         # via upsert_tier (the streaming sink path); week/month cascade
         # from the WRITTEN day tier — no raw re-scan.  Writes use
-        # DYNAMIC partition overwrite (+ stale-partition pruning), so
-        # the tier roots' protocol files are never clobbered, and the
-        # DAY lock is held for the WHOLE step: the cascade re-reads the
-        # day tier, and a streaming upserter slipping in between the
-        # day write and that read would rename files out from under the
-        # captured scan (or leak a half-upserted day view into
-        # week/month).  Lock order day -> week -> month is fixed, so no
-        # deadlock with any same-ordered writer.
+        # DYNAMIC partition overwrite so the tier roots' protocol files
+        # are never clobbered; periods the batch input does not cover
+        # are PRESERVED by default (they may be streaming-owned late
+        # data) — --full-refresh opts into pruning them for an
+        # authoritative recompute.  The DAY lock is held for the WHOLE
+        # step: the cascade re-reads the day tier, and a streaming
+        # upserter slipping in between the day write and that read
+        # would rename files out from under the captured scan.  Lock
+        # order day -> week -> month is fixed, so no deadlock with any
+        # same-ordered writer.  Recovery runs again UNDER each held
+        # lock: a streaming upserter that crashed mid-publish after our
+        # startup sweep (its flock auto-released) leaves a manifest +
+        # backups that a LATER recovery would roll back over the data
+        # we are about to write.
+        prune = bool(args.full_refresh)
         with _tier_lock(Path(tiers_root) / "tier=day"):
+            recover_tier(tiers_root, "day", _locked=True)
             write_tier(rollup_raw(decode_long(tokens), "day",
                                   with_last_ts=True), tiers_root, "day",
-                       dynamic=True)
+                       dynamic=True, prune_stale=prune)
             day = (spark.read.parquet(f"{tiers_root}/tier=day")
                    .drop("period"))
             for t in ("week", "month"):
                 with _tier_lock(Path(tiers_root) / f"tier={t}"):
+                    recover_tier(tiers_root, t, _locked=True)
                     write_tier(rollup_cascade(day, t), tiers_root, t,
-                               dynamic=True)
+                               dynamic=True, prune_stale=prune)
         return None
 
     ran_tiers = job.step("tier_tables", tier_tables)

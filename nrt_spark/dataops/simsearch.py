@@ -406,10 +406,12 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     differ from 1.0 in the last ulp — same value either path).  NOTE on
     NaN-containing vectors: Spark SQL normalizes NaN for aggregation
     keys, so identical NaN-containing vectors DO collapse into one
-    group; their cosines are NaN on both paths and NaN fails the
-    ``>= threshold`` filter identically, so the output is still
-    equivalent — but candidate-volume telemetry counts them once per
-    group here vs once per copy uncollapsed.
+    group; their cosines are NaN on both paths, and because Spark's
+    comparison semantics order NaN ABOVE every double, ``cos_raw >=
+    threshold`` is TRUE — NaN pairs are EMITTED identically by the
+    collapsed and uncollapsed miners (equivalent output either way;
+    candidate-volume telemetry counts them once per group here vs once
+    per copy uncollapsed).
     """
     if not collapse_duplicates:
         return _lsh_mine_pairs(embeddings, threshold, n_planes, n_tables,

@@ -175,7 +175,7 @@ def gapfill(rollup_df: DataFrame, tier: str,
 
 
 def write_tier(df: DataFrame, base_path: str, tier: str,
-               dynamic: bool = False) -> None:
+               dynamic: bool = False, prune_stale: bool = False) -> None:
     """Persist a tier table partitioned by calendar period so retention
     expiry is a partition drop (Iceberg ``days(ts)`` partitioning analog).
 
@@ -184,27 +184,58 @@ def write_tier(df: DataFrame, base_path: str, tier: str,
     ROOT is left alone — required when the tier dir also carries
     protocol files (``.upsert.lock``, staged-commit state) that a full
     ``mode("overwrite")`` would silently delete out from under a
-    concurrent writer.  To keep full-overwrite SEMANTICS (the written
-    tier equals exactly the rollup of ``df`` — a rerun with narrower
-    input must not leave stale months behind to poison cascades),
-    period partitions NOT present in ``df`` are pruned after the
-    write; callers must hold the tier's writer lock in dynamic mode.
+    concurrent writer.
+
+    ``prune_stale`` decides what happens to on-disk periods the new
+    data does NOT cover, and the right answer depends on who else
+    writes the tier — so it is explicit, not implied by ``dynamic``:
+
+    - ``False`` (default): untouched periods survive.  REQUIRED when a
+      streaming :func:`upsert_tier` sink shares the tier — a period it
+      legitimately created from late data may be absent from this
+      batch's input, and pruning it would destroy the only copy.
+    - ``True``: untouched periods are deleted, restoring full-
+      overwrite semantics (the tier equals exactly the rollup of
+      ``df``) — for authoritative recomputes, where leftover months
+      from a previous wider run would poison downstream cascades.
+
+    Callers must hold the tier's writer lock in dynamic mode.  NULL
+    ``bucket_start`` rows land in Hive's default partition; the prune
+    maps them correctly and never deletes a just-written partition.
     """
     out = (df.withColumn("period",
                          F.date_format("bucket_start", "yyyy-MM")))
-    w = out.write.mode("overwrite").partitionBy("period")
     if not dynamic:
-        w.parquet(f"{base_path}/tier={tier}")
+        out.write.mode("overwrite").partitionBy("period") \
+            .parquet(f"{base_path}/tier={tier}")
         return
-    w.option("partitionOverwriteMode", "dynamic") \
-        .parquet(f"{base_path}/tier={tier}")
-    written = {r["period"] for r in
-               out.select("period").distinct().collect()}
-    for d in Path(f"{base_path}/tier={tier}").glob("period=*"):
-        if d.name.split("=", 1)[1] not in written:
-            log.warning("write_tier: pruning stale partition %s "
-                        "(not present in the new data)", d)
-            shutil.rmtree(d)
+    if prune_stale:
+        # persist so the written-period set comes from the SAME
+        # materialization as the write (no second run of the full
+        # upstream plan inside the writer-lock window, no chance of a
+        # divergent set under a non-deterministic source)
+        out = out.persist()
+    try:
+        out.write.mode("overwrite").partitionBy("period") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .parquet(f"{base_path}/tier={tier}")
+        if not prune_stale:
+            return
+        written = set()
+        for r in out.select("period").distinct().collect():
+            # NULL periods are written under Hive's default-partition
+            # sentinel — map them or the prune would delete the
+            # partition this very write just produced
+            written.add("__HIVE_DEFAULT_PARTITION__"
+                        if r["period"] is None else r["period"])
+        for d in Path(f"{base_path}/tier={tier}").glob("period=*"):
+            if d.name.split("=", 1)[1] not in written:
+                log.warning("write_tier: pruning stale partition %s "
+                            "(not present in the new data)", d)
+                shutil.rmtree(d)
+    finally:
+        if prune_stale:
+            out.unpersist()
 
 
 def _upsert_paths(tier_path: Path) -> tuple[Path, Path, Path]:

@@ -62,7 +62,12 @@ def test_brute_pairs_plan_is_scan_plus_mapinpandas(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
-    assert "embedding" not in plan.split("ReadSchema")[-1][:200]
+    # NO scan may read the vector column (check every ReadSchema
+    # segment, not just the last — a regressed second scan must fail)
+    segments = plan.split("ReadSchema")
+    assert len(segments) > 1, "no scan in plan?"
+    for seg in segments[1:]:
+        assert "embedding" not in seg[:200]
 
 
 def test_fastpath_has_no_exchange(spark):

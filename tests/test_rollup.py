@@ -530,10 +530,11 @@ def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
 
 def test_write_tier_dynamic_prunes_stale_partitions(spark, long_df,
                                                     tmp_path):
-    """dynamic=True must keep full-overwrite SEMANTICS: a rerun with
-    narrower input prunes the period partitions the new data no longer
-    covers (stale months must not poison cascades) while leaving root
-    protocol files untouched."""
+    """dynamic=True + prune_stale=True restores full-overwrite
+    SEMANTICS (a narrower rerun prunes uncovered periods) while leaving
+    root protocol files untouched; the DEFAULT (prune_stale=False)
+    preserves uncovered periods — they may be streaming-upserted late
+    data this batch never saw."""
     from pyspark.sql import functions as F
 
     from nrt_spark.rollup import rollup_raw, write_tier
@@ -548,15 +549,29 @@ def test_write_tier_dynamic_prunes_stale_partitions(spark, long_df,
     marker.write_text("{}")                 # root protocol file
 
     keep = periods[0].split("=", 1)[1]
-    write_tier(day.filter(
-        F.date_format("bucket_start", "yyyy-MM") == keep),
-        base, "day", dynamic=True)
+    narrower = day.filter(
+        F.date_format("bucket_start", "yyyy-MM") == keep)
+    # default: uncovered periods SURVIVE (streaming-owned data safe)
+    write_tier(narrower, base, "day", dynamic=True)
+    assert sorted(p.name for p in
+                  (tmp_path / "tier=day").glob("period=*")) == periods
+    # full-refresh: uncovered periods pruned
+    write_tier(narrower, base, "day", dynamic=True, prune_stale=True)
     left = sorted(p.name for p in
                   (tmp_path / "tier=day").glob("period=*"))
-    assert left == [f"period={keep}"]       # stale periods pruned
+    assert left == [f"period={keep}"]
     assert marker.exists()                  # protocol file survived
     assert (spark.read.parquet(f"{base}/tier=day")
             .select("period").distinct().count() == 1)
+    # NULL bucket_start rows land in Hive's default partition; the
+    # prune must map them (written-set None vs on-disk sentinel) and
+    # never delete the partition its own write just produced
+    nulled = narrower.limit(1).withColumn(
+        "bucket_start", F.lit(None).cast("timestamp"))
+    write_tier(narrower.unionByName(nulled), base, "day",
+               dynamic=True, prune_stale=True)
+    assert (tmp_path / "tier=day" /
+            "period=__HIVE_DEFAULT_PARTITION__").exists()
 
 
 def test_upsert_recovery_never_touches_compaction_backups(spark, long_df,
