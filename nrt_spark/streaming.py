@@ -169,7 +169,8 @@ def _parse_days(watermark: str) -> int:
     return int(parts[0])
 
 
-def rollup_stream_month(obs_stream, watermark: str = "3 days"):
+def rollup_stream_month(obs_stream, watermark: str = "3 days",
+                        fault_file: "str | None" = None):
     """Streaming CALENDAR-month continuous aggregate.
 
     Tumbling ``window()`` aggregation needs fixed-length windows, so the
@@ -192,6 +193,12 @@ def rollup_stream_month(obs_stream, watermark: str = "3 days"):
     The last snapshot per (doc_id, month) equals the batch
     ``rollup_raw(month)`` buckets (n/vmin/vmax exactly; vsum/mean to
     float-fold order, see tests).
+
+    ``fault_file`` is the same TEST SEAM :func:`monitor_stream` has
+    (never set in production wiring): when given and the file exists,
+    its content is an ISO timestamp; a micro-batch whose observations
+    reach it raises AFTER the state-update call, so the kill/restart
+    soak can assert checkpoint recovery lands on the batch result.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -238,6 +245,15 @@ def rollup_stream_month(obs_stream, watermark: str = "3 days"):
         for period in finalized:
             del months[period]
         state.update((pickle.dumps((months, max_ts), protocol=4),))
+        if fault_file is not None and len(obs):
+            try:
+                threshold = pd.Timestamp(Path(fault_file).read_text())
+            except (OSError, ValueError):
+                threshold = None
+            if threshold is not None and obs["ts"].max() >= threshold:
+                raise RuntimeError(
+                    "injected stream fault: batch reached the kill-ts "
+                    "threshold (kill/restart soak)")
         if rows:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "bucket_start", "n", "vsum", "vmin", "vmax",

@@ -299,6 +299,85 @@ def test_rollup_stream_month_matches_batch(spark, setup):
     assert not fin.duplicated(["doc_id", "bucket_start"]).any()
 
 
+def test_rollup_stream_month_kill_restart(spark, setup, tmp_path):
+    """Kill/restart soak for the SECOND applyInPandasWithState operator
+    (the calendar-month tier): die mid-batch AFTER the state update at
+    two points, restart from the same checkpoint, and the drained
+    last-snapshot-per-month must equal the batch rollup — state
+    recovery, late-data watermark and finalize/evict all surviving the
+    restarts.  File sink (its metadata log excludes killed attempts'
+    output; the memory sink cannot recover a checkpoint)."""
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+
+    from nrt_spark.rollup import rollup_raw
+    from nrt_spark.streaming import rollup_stream_month
+
+    toks, eng, state0, obs, src, tmp = setup
+    long_df = decode_long(toks).select("doc_id", "ts", "value")
+    days = sorted(r[0] for r in long_df.select("ts").distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    msrc = tmp_path / "src"
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    chunk_min = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = long_df
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        part.coalesce(1).write.parquet(str(msrc / f"chunk{i}"))
+        chunk_min.append(part.agg(F.min("ts")).first()[0])
+
+    fault = tmp_path / "fault_ts"
+    ck, outp = tmp_path / "ck", tmp_path / "rows"
+
+    def start():
+        stream = (spark.readStream
+                  .schema("doc_id string, ts timestamp, value double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(msrc) + "/chunk*"))
+        return (rollup_stream_month(stream, watermark="3 days",
+                                    fault_file=str(fault))
+                .writeStream.format("parquet")
+                .option("path", str(outp))
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True).start())
+
+    # kill 1: inside batch 0; kill 2: inside batch 1 after a committed
+    # batch 0 (state must come back from the checkpoint, not the seed)
+    for kill_ts in (chunk_min[0], chunk_min[1]):
+        fault.write_text(str(kill_ts))
+        q = start()
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(300)
+    fault.unlink()
+    q = start()
+    assert q.awaitTermination(300), "restarted stream did not drain"
+
+    emitted = spark.read.parquet(str(outp)).toPandas()
+    assert emitted["final"].any()
+    got = (emitted.sort_values("n")
+           .groupby(["doc_id", "bucket_start"], as_index=False).last()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "month").filter("n > 0")
+            .select("doc_id", "bucket_start", "n", "vsum", "vmin",
+                    "vmax", "mean")
+            .toPandas().sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    for col in ("vmin", "vmax"):
+        np.testing.assert_array_equal(got[col].to_numpy(dtype=float),
+                                      want[col].to_numpy(dtype=float))
+    np.testing.assert_allclose(got["mean"].to_numpy(dtype=float),
+                               want["mean"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    # each (doc, month) finalized at most once despite the restarts
+    fin = emitted[emitted["final"]]
+    assert not fin.duplicated(["doc_id", "bucket_start"]).any()
+
+
 def test_advance_duplicate_obs_deterministic(spark, setup):
     """Duplicate (doc, day) observations within a micro-batch resolve
     identically regardless of arrival order (max value wins, NaN loses)
