@@ -157,7 +157,10 @@ def main(argv=None) -> int:
                                dynamic=True, prune_stale=prune)
         return None
 
-    ran_tiers = job.step("tier_tables", tier_tables)
+    # --full-refresh must actually run: a resumed job-id would
+    # otherwise skip the completed step and silently never prune
+    ran_tiers = job.step("tier_tables", tier_tables,
+                         force=bool(args.full_refresh))
 
     if args.bucketed_layout:
         from nrt_spark.engine import write_tokens_bucketed

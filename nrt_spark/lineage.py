@@ -67,9 +67,12 @@ class ResumableJob:
         self.metrics_path = metrics_path
         self._done = completed_steps(spark, metrics_path, job_id)
 
-    def step(self, name: str, fn) -> bool:
-        """Returns True if the step executed, False if skipped."""
-        if name in self._done:
+    def step(self, name: str, fn, force: bool = False) -> bool:
+        """Returns True if the step executed, False if skipped.
+        ``force`` re-runs a completed step (e.g. an operator-requested
+        full refresh) — without it, a flag whose whole purpose is
+        recomputation would silently no-op on a resumed job id."""
+        if name in self._done and not force:
             return False
         t0 = time.time()
         out = fn()

@@ -209,6 +209,14 @@ def write_tier(df: DataFrame, base_path: str, tier: str,
         out.write.mode("overwrite").partitionBy("period") \
             .parquet(f"{base_path}/tier={tier}")
         return
+    if prune_stale and "://" in base_path:
+        # the prune walks the driver's LOCAL filesystem; on a URI path
+        # it would silently match nothing and leave the stale months
+        # the caller explicitly asked to remove
+        raise ValueError(
+            "write_tier(prune_stale=True) prunes via local filesystem "
+            "paths; object stores need the catalog-native overwrite "
+            "(catalog.py)")
     if prune_stale:
         # persist so the written-period set comes from the SAME
         # materialization as the write (no second run of the full
@@ -336,7 +344,8 @@ def recover_tier(base_path: str, tier: str, _locked: bool = False) -> str:
     Standalone calls take the tier's single-writer lock (see
     :func:`_tier_lock`) so recovery can never roll back another
     writer's in-flight commit; ``_locked`` is internal — set only by
-    :func:`upsert_tier`, which already holds the lock.
+    callers that already hold the tier's lock (:func:`upsert_tier` on
+    entry, and ``rollup_job``'s locked ``tier_tables`` step).
 
     Returns "clean", "rolled_back", or "cleaned" (post-commit debris).
     """

@@ -169,6 +169,21 @@ def _parse_days(watermark: str) -> int:
     return int(parts[0])
 
 
+def _fault_tripped(fault_file: "str | None", parse, batch_max) -> bool:
+    """Shared kill/restart-soak seam for the stateful operators: True
+    when ``fault_file`` exists, parses via ``parse``, and the batch's
+    max event value reached the threshold.  Callers raise AFTER their
+    ``state.update`` call — the soak proves buffered state from the
+    failed attempt never leaks into the checkpoint."""
+    if fault_file is None:
+        return False
+    try:
+        threshold = parse(Path(fault_file).read_text())
+    except (OSError, ValueError):
+        return False
+    return batch_max >= threshold
+
+
 def rollup_stream_month(obs_stream, watermark: str = "3 days",
                         fault_file: "str | None" = None):
     """Streaming CALENDAR-month continuous aggregate.
@@ -245,15 +260,11 @@ def rollup_stream_month(obs_stream, watermark: str = "3 days",
         for period in finalized:
             del months[period]
         state.update((pickle.dumps((months, max_ts), protocol=4),))
-        if fault_file is not None and len(obs):
-            try:
-                threshold = pd.Timestamp(Path(fault_file).read_text())
-            except (OSError, ValueError):
-                threshold = None
-            if threshold is not None and obs["ts"].max() >= threshold:
-                raise RuntimeError(
-                    "injected stream fault: batch reached the kill-ts "
-                    "threshold (kill/restart soak)")
+        if len(obs) and _fault_tripped(fault_file, pd.Timestamp,
+                                       obs["ts"].max()):
+            raise RuntimeError(
+                "injected stream fault: batch reached the kill-ts "
+                "threshold (kill/restart soak)")
         if rows:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "bucket_start", "n", "vsum", "vmin", "vmax",
@@ -306,16 +317,11 @@ def monitor_stream(obs_stream, state_path: str, params: dict,
         obs = pd.concat(list(pdfs), ignore_index=True)
         new_pdf = _advance(state_pdf, obs, params, bucket)
         state.update((pickle.dumps(new_pdf[STATE_COLUMNS], protocol=4),))
-        if fault_file is not None:
-            try:
-                threshold = int(Path(fault_file).read_text())
-            except (OSError, ValueError):
-                threshold = None
-            if (threshold is not None and len(obs)
-                    and int(obs["day"].max()) >= threshold):
-                raise RuntimeError(
-                    "injected stream fault: batch reached the kill-day "
-                    "threshold (kill/restart soak)")
+        if len(obs) and _fault_tripped(fault_file, int,
+                                       int(obs["day"].max())):
+            raise RuntimeError(
+                "injected stream fault: batch reached the kill-day "
+                "threshold (kill/restart soak)")
         yield _report_rows(new_pdf)
 
     keyed = obs_stream.withColumn(

@@ -183,6 +183,10 @@ def test_lineage_resumable_job(spark, long_df, tmp_path):
     job2 = ResumableJob(spark, "job1", mp)
     assert not job2.step("a", make("a")) and not job2.step("b", make("b"))
     assert calls == {"a": 1, "b": 1}
+    # force=True re-runs a completed step (the --full-refresh contract:
+    # an operator-requested recompute must not silently no-op)
+    assert job2.step("a", make("a"), force=True)
+    assert calls["a"] == 2
     lin = read_lineage(spark, mp).toPandas()
     assert set(lin["step"]) == {"a", "b"}
     assert (lin["rows"] > 0).any()

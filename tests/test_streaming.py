@@ -307,7 +307,6 @@ def test_rollup_stream_month_kill_restart(spark, setup, tmp_path):
     recovery, late-data watermark and finalize/evict all surviving the
     restarts.  File sink (its metadata log excludes killed attempts'
     output; the memory sink cannot recover a checkpoint)."""
-    import pandas as pd
     from pyspark.errors import StreamingQueryException
 
     from nrt_spark.rollup import rollup_raw
