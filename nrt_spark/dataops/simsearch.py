@@ -74,6 +74,14 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
 
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine rounded
     half-up to 6 decimals (Spark ``F.round`` semantics).
+
+    NaN cosines (NaN-containing or zero-norm vectors) are EMITTED, not
+    dropped: Spark's comparison semantics order NaN above every double,
+    so ``cos >= threshold`` is TRUE there (DuckDB agrees), and
+    :func:`lsh_neardup_pairs` documents NaN pairs as emitted — a numpy
+    ``>=`` (False on NaN) would silently under-report recall on
+    degenerate vectors, so both the matmul prune and the exact-fold cut
+    treat NaN as a keep.
     """
     import decimal
 
@@ -120,7 +128,10 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
                 ai = np.fromiter((pos[int(i)] for i in chunk),
                                  dtype=np.int64, count=len(chunk))
                 sims = Mn_g[ai] @ Mn_g.T            # blocked matmul
-                cand = sims >= (threshold - slack)
+                # NaN survives the prune AND the exact cut (Spark/DuckDB
+                # order NaN above all doubles, so their `>= threshold`
+                # keeps NaN pairs; numpy's would drop them)
+                cand = (sims >= (threshold - slack)) | np.isnan(sims)
                 cand &= ids_g[None, :] > chunk[:, None]   # a < b once
                 ii, jj = np.nonzero(cand)
                 if not len(ii):
@@ -130,11 +141,15 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
                 acc = np.zeros(len(ii))
                 for d in range(M_g.shape[1]):       # exact fold
                     acc = acc + A[:, d] * B[:, d]
-                cos = acc / (nrm_g[gi] * nrm_g[jj])
-                keep = cos >= threshold
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = acc / (nrm_g[gi] * nrm_g[jj])
+                keep = (cos >= threshold) | np.isnan(cos)
                 out["vec_a"].extend(int(x) for x in ids_g[gi[keep]])
                 out["vec_b"].extend(int(x) for x in ids_g[jj[keep]])
+                # Decimal.quantize raises InvalidOperation on NaN —
+                # pass NaN through unrounded (round(NaN) is NaN in SQL)
                 out["cosine"].extend(
+                    float("nan") if c != c else
                     float(decimal.Decimal(repr(c)).quantize(
                         q6, rounding=decimal.ROUND_HALF_UP))
                     for c in cos[keep])
@@ -179,6 +194,40 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
 #: sample >= 1000; K is the hash-bucket modulus the cut is expressed in.
 IVF_SAMPLE_OVERSAMPLE = 4
 IVF_SAMPLE_BUCKETS = 1 << 20
+#: above this many source files the row count is footer-SAMPLED rather
+#: than footer-exact (the sizing only needs an estimate; reading 10^6
+#: footers on the driver would itself be the bottleneck)
+IVF_EXACT_FOOTER_FILES = 256
+
+
+def _source_row_estimate(df: DataFrame) -> "tuple[int, bool] | None":
+    """(rows, exact) for a file-backed DataFrame from parquet footer
+    metadata only — no Spark job, no full-table count.  Up to
+    ``IVF_EXACT_FOOTER_FILES`` files every footer is read (EXACT count,
+    so sizing decisions are bit-stable vs the count()-based history and
+    the duckdb twin); beyond that a 64-footer sample extrapolates.
+    Returns None when the plan is not a file scan (or the files are not
+    parquet) — callers fall back to a scan-free probe."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+
+    def rows_of(f: str) -> int:
+        return pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+
+    try:
+        if len(files) <= IVF_EXACT_FOOTER_FILES:
+            return sum(rows_of(f) for f in files), True
+        probe = sorted(files)[:: max(1, len(files) // 64)][:64]
+        mean = sum(rows_of(f) for f in probe) / len(probe)
+        return int(mean * len(files)), False
+    except Exception:
+        return None
 
 
 def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
@@ -208,20 +257,49 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
     (:func:`nrt_spark.oracle.ivf_ann_oracle`) mirrors the filter via
     the pure-Python xxhash64, certifying both branches cross-engine.
 
+    Cut sizing never runs a full-table ``count()``: on file-backed
+    tables the row total comes from parquet FOOTER metadata only
+    (exact up to ``IVF_EXACT_FOOTER_FILES`` files — every test scale —
+    so sizing matches the duckdb twin's exact count bit-for-bit;
+    footer-sampled beyond).  On non-file / post-filter inputs, where a
+    count() would be a 10^12-row scan just to size a threshold, a
+    scan-free incremental ``take`` probe decides small-vs-big and the
+    big branch starts from the most aggressive cut.  Either way an
+    under-delivering cut (estimate off, or probe-only sizing) escalates
+    geometrically — cut x4, redraw — until ``sample`` rows survive or
+    the filter degenerates to a no-op; the escalation is a pure
+    function of the data, so the draw stays deterministic and the twin
+    mirrors it exactly.
+
     Returns:
         (n_cells, dim) float64 centroid matrix.
     """
     cand = embeddings.select(id_col, vec_col)
-    # count() is column-pruned (metadata-only on parquet sources); the
-    # exact total is only used to size the hash cut
-    n_total = embeddings.count()
-    if n_total > IVF_SAMPLE_OVERSAMPLE * sample:
-        K = IVF_SAMPLE_BUCKETS
-        cut = -(-K * IVF_SAMPLE_OVERSAMPLE * sample // n_total)  # ceil
-        cand = cand.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(K)) < F.lit(int(cut)))
-    rows = (cand.orderBy(id_col).limit(sample)
-            .toPandas()[vec_col].tolist())
+    K = IVF_SAMPLE_BUCKETS
+    thresh = IVF_SAMPLE_OVERSAMPLE * sample
+    est = _source_row_estimate(embeddings)
+    if est is not None:
+        big = est[0] > thresh
+        cut = -(-K * thresh // est[0]) if big else K          # ceil
+    else:
+        # scan-free size probe: take() runs incrementally (1 partition,
+        # then 4x more, ...) so on a huge table it touches a handful of
+        # partitions; on a small one it is the whole (cheap) scan
+        big = len(embeddings.select(id_col).take(thresh + 1)) > thresh
+        cut = 1                       # most aggressive; escalation sizes it
+
+    def draw(c: int) -> list:
+        src = cand
+        if big and c < K:
+            src = cand.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(K)) < F.lit(int(c)))
+        return (src.orderBy(id_col).limit(sample)
+                .toPandas()[vec_col].tolist())
+
+    rows = draw(cut)
+    while big and len(rows) < sample and cut < K:
+        cut = min(cut * 4, K)         # under-delivery: widen and redraw
+        rows = draw(cut)
     X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -420,10 +498,19 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     # scan) — probing on the reps aggregate would eagerly run the
     # whole group-by shuffle at plan-build time
     dim = len(embeddings.select(vec_col).first()[0])
+    # checkpointed: the group-by feeds FOUR subtrees of the returned
+    # plan (reps, ga, gb, intra) — without materialization Spark may
+    # re-run the shuffle up to four times per action unless AQE
+    # exchange reuse happens to kick in.  Non-eager localCheckpoint
+    # (not persist(): CacheManager entries outlive the returned plan)
+    # materializes on the first action and is reclaimed by the
+    # ContextCleaner once the result DataFrame is GC'd — the same
+    # call-scoped pattern as the jaccard miner's shingle checkpoint.
     groups = (embeddings.groupBy(vec_col)
               .agg(F.min(id_col).alias("rep"),
                    F.collect_list(id_col).alias("members"),
-                   F.count("*").alias("m")))
+                   F.count("*").alias("m"))
+              .localCheckpoint(eager=False))
     reps = groups.select(F.col("rep").alias(id_col), vec_col)
     rep_pairs = _lsh_mine_pairs(reps, threshold, n_planes, n_tables,
                                 seed, vec_col, id_col, dim=dim)

@@ -272,20 +272,36 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     from nrt_spark.hashing import spark_xxhash64_long
 
     src = f"'{sf_dir}/embeddings.parquet'"
+    # count(*) on parquet is footer-metadata-only in duckdb — the exact
+    # twin of ivf_train's footer-exact _source_row_estimate
     n_total = duckdb.sql(f"SELECT count(*) FROM {src}").fetchone()[0]
     if n_total > IVF_SAMPLE_OVERSAMPLE * sample:
         # mirror ivf_train's hash-threshold pre-filter (python % on a
-        # signed hash == Spark pmod: both non-negative)
+        # signed hash == Spark pmod: both non-negative), INCLUDING its
+        # geometric cut escalation on under-delivery — both sides are
+        # pure functions of the same data, so the samples stay
+        # bit-identical
         K = IVF_SAMPLE_BUCKETS
         cut = -(-K * IVF_SAMPLE_OVERSAMPLE * sample // n_total)
         ids = [r[0] for r in
                duckdb.sql(f"SELECT vec_id FROM {src}").fetchall()]
-        keep = sorted(i for i in ids
-                      if spark_xxhash64_long(int(i)) % K < cut)[:sample]
-        id_list = ",".join(str(i) for i in keep)
+        hashes = {int(i): spark_xxhash64_long(int(i)) % K for i in ids}
+        keep = sorted(i for i in ids if hashes[int(i)] < cut)[:sample]
+        while len(keep) < sample and cut < K:
+            cut = min(cut * 4, K)
+            keep = sorted(i for i in ids if hashes[int(i)] < cut)[:sample]
+        if not keep:
+            raise RuntimeError(
+                f"ivf_ann_oracle: hash filter left no survivors even at "
+                f"cut={cut} (n={n_total}) — table/id layout inconsistent")
+        # registered relation, not an interpolated IN-list: a literal
+        # list of `sample` ids bloats the SQL and an empty one would be
+        # a syntax error
+        keep_df = pd.DataFrame({"vec_id": keep})  # noqa: F841 (duckdb scan)
         rows = duckdb.sql(
-            f"SELECT vec_id, embedding FROM {src} "
-            f"WHERE vec_id IN ({id_list}) ORDER BY vec_id").fetchall()
+            f"SELECT e.vec_id, e.embedding FROM {src} e "
+            f"JOIN keep_df k ON e.vec_id = k.vec_id "
+            f"ORDER BY e.vec_id").fetchall()
     else:
         rows = duckdb.sql(
             f"SELECT vec_id, embedding FROM {src} "

@@ -742,7 +742,7 @@ WITH hist AS (
   SELECT user_id, histsize,
          sc / (100.0 * histsize) AS mu,
          sqrt((ssq / 10000.0 - (sc / 100.0) * (sc / (100.0 * histsize)))
-              / (histsize - 1)) AS sigma
+              / nullif(histsize - 1, 0)) AS sigma
   FROM hist
 ), mon AS (
   SELECT user_id, value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
@@ -769,13 +769,17 @@ def events_cusum(spark, sf_dir):
             .agg(F.sum(c).alias("sc"),
                  F.sum(c * c).alias("ssq"),
                  F.count("*").alias("histsize")))
+    # nullif guard: a single-event history makes (histsize - 1) zero —
+    # Spark (non-ANSI float div) yields NULL but DuckDB IEEE yields
+    # Inf/NaN, a latent cross-engine divergence; nullif restores the
+    # old stddev_samp behavior (NULL sigma on BOTH engines at n=1)
     hist = hist.select(
         "user_id", "histsize",
         (F.col("sc") / (F.col("histsize") * 100.0)).alias("mu"),
         F.sqrt((F.col("ssq") / 10000.0
                 - (F.col("sc") / 100.0)
                 * (F.col("sc") / (F.col("histsize") * 100.0)))
-               / (F.col("histsize") - 1)).alias("sigma"))
+               / F.nullif(F.col("histsize") - 1, F.lit(0))).alias("sigma"))
     mon = ev.filter(F.col("ts") >= "2024-01-16").select("user_id", "value")
     return (
         mon.join(hist, "user_id")

@@ -27,6 +27,7 @@ import logging
 import os
 import shutil
 import socket
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, functions as F
@@ -270,8 +271,13 @@ class TierLockedError(RuntimeError):
     (and delete the staging of) the other writer's in-flight commit."""
 
 
+#: default seconds a writer waits for the tier lock before failing
+#: loudly; override per-deployment via $NRT_TIER_LOCK_TIMEOUT
+TIER_LOCK_TIMEOUT = 60.0
+
+
 @contextlib.contextmanager
-def _tier_lock(tier_path: Path):
+def _tier_lock(tier_path: Path, timeout: "float | None" = None):
     """Single-writer guard for the staged-swap protocol: an ``flock``
     on ``.upsert.lock`` in the tier dir, held across
     recover → stage → publish → cleanup.
@@ -279,10 +285,16 @@ def _tier_lock(tier_path: Path):
     The staged-swap paths (staging dir, manifest, backups) are fixed
     per-tier names, so two concurrent upserts — or a standalone
     ``recover_tier`` during one — would corrupt a publish on a shared
-    filesystem.  Contention fails loudly (:class:`TierLockedError` with
-    the holder's recorded pid/host) rather than blocking: tier
-    maintenance is a scheduled job, and a second writer is a
-    deployment error.
+    filesystem.  Contention BLOCKS (bounded): the architecture
+    deliberately co-deploys writers on one tier root — a streaming
+    upsert sink's micro-batch commits overlap the batch job's startup
+    recovery sweep and its lock-holding ``tier_tables`` cascade — so an
+    expected-transient hold is waited out (poll + 100ms backoff) up to
+    ``timeout`` seconds (default :data:`TIER_LOCK_TIMEOUT`, env
+    ``NRT_TIER_LOCK_TIMEOUT``); only then does it fail loudly
+    (:class:`TierLockedError` with the holder's recorded pid/host),
+    which after a full timeout indicates a stuck writer, a deployment
+    error — not ordinary contention.
 
     Why flock and not a create-exclusively lock FILE: the kernel
     releases an flock the instant its holder dies, so a crashed writer
@@ -299,23 +311,33 @@ def _tier_lock(tier_path: Path):
     """
     import fcntl
 
+    if timeout is None:
+        timeout = float(os.environ.get("NRT_TIER_LOCK_TIMEOUT",
+                                       TIER_LOCK_TIMEOUT))
     tier_path.mkdir(parents=True, exist_ok=True)
     lock = tier_path / ".upsert.lock"
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
+        deadline = time.monotonic() + timeout
+        while True:
             try:
-                holder = json.loads(lock.read_text())
-            except (OSError, ValueError):
-                holder = {}
-            raise TierLockedError(
-                f"tier {tier_path} is locked by another upsert writer "
-                f"({holder or 'holder info unavailable'}); concurrent "
-                f"upsert/recover per tier is not supported — wait for "
-                f"the holder to finish (a crashed holder's lock is "
-                f"released by the kernel automatically)") from None
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    try:
+                        holder = json.loads(lock.read_text())
+                    except (OSError, ValueError):
+                        holder = {}
+                    raise TierLockedError(
+                        f"tier {tier_path} is locked by another upsert "
+                        f"writer ({holder or 'holder info unavailable'}) "
+                        f"and was not released within {timeout}s; a "
+                        f"crashed holder's lock is released by the "
+                        f"kernel automatically, so a full timeout means "
+                        f"the holder is alive and stuck (or the timeout "
+                        f"is too short for its commit)") from None
+                time.sleep(min(0.1, max(0.0, deadline - time.monotonic())))
         os.ftruncate(fd, 0)
         os.write(fd, json.dumps(
             {"pid": os.getpid(), "host": socket.gethostname()}).encode())

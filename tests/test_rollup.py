@@ -493,13 +493,14 @@ def test_upsert_tier_kill_injection(spark, long_df, tmp_path, monkeypatch,
     late.unpersist()
 
 
-def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
+def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path,
+                                        monkeypatch):
     """The .upsert.lock flock guard: while another writer HOLDS the
-    lock, upsert_tier and standalone recover_tier fail loudly (instead
-    of a concurrent recover rolling back the holder's in-flight
-    commit); once released — which the kernel also does automatically
-    when a holder dies — acquisition succeeds, with no staleness
-    probing or lock stealing to race."""
+    lock, upsert_tier and standalone recover_tier wait out the bounded
+    timeout then fail loudly (instead of a concurrent recover rolling
+    back the holder's in-flight commit); once released — which the
+    kernel also does automatically when a holder dies — acquisition
+    succeeds, with no staleness probing or lock stealing to race."""
     import fcntl
     import json as _json
     import os as _os
@@ -507,6 +508,7 @@ def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
     from nrt_spark.rollup import (TierLockedError, recover_tier,
                                   rollup_raw, upsert_tier, write_tier)
 
+    monkeypatch.setenv("NRT_TIER_LOCK_TIMEOUT", "0.3")
     base = str(tmp_path)
     write_tier(rollup_raw(long_df, "day", with_last_ts=True), base, "day")
     lock = tmp_path / "tier=day" / ".upsert.lock"
@@ -530,6 +532,38 @@ def test_upsert_tier_lock_single_writer(spark, long_df, tmp_path):
     stats = upsert_tier(spark, base, "day", long_df.limit(5))
     assert stats["periods"]
     assert lock.exists()                    # never unlinked (by design)
+
+
+def test_tier_lock_waits_out_transient_hold(tmp_path):
+    """Bounded BLOCKING acquire: an expected-transient hold (the
+    co-deployed streaming upserter committing a micro-batch) is waited
+    out instead of crashing one of the two writers — the acquirer
+    succeeds as soon as the holder releases within the timeout."""
+    import fcntl
+    import os as _os
+    import threading
+    import time as _time
+
+    from nrt_spark.rollup import _tier_lock
+
+    tier = tmp_path / "tier=day"
+    tier.mkdir()
+    lock = tier / ".upsert.lock"
+    lock.touch()
+    fd = _os.open(lock, _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+
+    def release_soon():
+        _time.sleep(0.4)
+        _os.close(fd)
+
+    t = threading.Thread(target=release_soon)
+    t.start()
+    t0 = _time.monotonic()
+    with _tier_lock(tier, timeout=5.0):
+        waited = _time.monotonic() - t0
+    t.join()
+    assert 0.3 <= waited < 5.0              # blocked, then acquired
 
 
 def test_write_tier_dynamic_prunes_stale_partitions(spark, long_df,
