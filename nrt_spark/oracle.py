@@ -356,39 +356,58 @@ def day_tier_oracle(n_docs: int = 60, n_obs: int = 60) -> pd.DataFrame:
 
 
 def multimodal_features_oracle(sf_dir: str, dim: int = 8) -> pd.DataFrame:
-    """Expected (media_id, n_bytes, f0) rows for the multimodal decode
-    plumbing over the documents table: the stand-in feature is a pure
-    sha256 expansion of the payload bytes (dataops.multimodal), so the
-    twin recomputes it straight from the parquet — certifying the Arrow
-    batching, schema and byte handling end to end even though the real
-    media decode is stubbed.  f0 is rounded exactly like Spark's
-    ``F.round``, which is ``BigDecimal.valueOf(d)`` + HALF_UP — i.e.
-    HALF_UP on the double's SHORTEST round-trip decimal repr, not on
-    its exact binary expansion (``Decimal(repr(x))``, not
-    ``Decimal(x)``; the two differ on values whose shortest repr
-    terminates in a 7th-decimal 5).  NULL texts mirror the Spark side:
-    n_bytes 0, f0 NULL."""
+    """Expected (part, media_id, n_bytes, f0) rows for the multimodal
+    surface over the documents table — TWO certified parts:
+
+    - ``plumb``: the sha256 stand-in feature over raw text bytes
+      (certifies Arrow batching, schema and byte handling on arbitrary
+      payloads);
+    - ``decode``: REAL pure-numpy media decode — each doc gets a
+      deterministic synthetic BMP/PPM/WAV payload
+      (``synth_media_payload``, kind = doc_id % 3) and the twin
+      recomputes decode + featurize with the very same functions the
+      Spark UDF batches call, certifying the distributed decode path
+      bit-for-bit.
+
+    f0 is rounded exactly like Spark's ``F.round``, which is
+    ``BigDecimal.valueOf(d)`` + HALF_UP — i.e. HALF_UP on the double's
+    SHORTEST round-trip decimal repr, not on its exact binary expansion
+    (``Decimal(repr(x))``, not ``Decimal(x)``; the two differ on values
+    whose shortest repr terminates in a 7th-decimal 5).  The feature
+    crosses the wire as float32 (FEATURES_SCHEMA), so the twin
+    truncates through ``np.float32`` BEFORE the double-promote + round,
+    mirroring the engine.  NULL texts mirror the Spark side: n_bytes 0,
+    f0 NULL."""
     import decimal
 
     import duckdb
 
-    from nrt_spark.dataops.multimodal import _fake_feature
+    from nrt_spark.dataops.multimodal import (_fake_feature,
+                                              media_features,
+                                              synth_media_payload)
 
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         f"ORDER BY doc_id").fetchall()
     out = []
     q = decimal.Decimal("1e-6")
+
+    def round6(x: float) -> float:
+        return float(decimal.Decimal(repr(float(x))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP))
+
+    kinds = ("bmp", "ppm", "wav")
     for doc_id, text in rows:
         if text is None:
-            out.append((str(doc_id), 0, None))
-            continue
-        payload = text.encode("utf-8")
-        f0 = float(_fake_feature(payload, dim)[0])
-        f0r = float(decimal.Decimal(repr(f0)).quantize(
-            q, rounding=decimal.ROUND_HALF_UP))
-        out.append((str(doc_id), len(payload), f0r))
-    return pd.DataFrame(out, columns=["media_id", "n_bytes", "f0"])
+            out.append(("plumb", str(doc_id), 0, None))
+        else:
+            payload = text.encode("utf-8")
+            f0 = float(_fake_feature(payload, dim)[0])
+            out.append(("plumb", str(doc_id), len(payload), round6(f0)))
+        media = synth_media_payload(str(doc_id), kinds[int(doc_id) % 3])
+        feat = np.float32(media_features(media, dim)[0])
+        out.append(("decode", str(doc_id), len(media), round6(feat)))
+    return pd.DataFrame(out, columns=["part", "media_id", "n_bytes", "f0"])
 
 
 def retention_oracle(n_docs: int = 60, n_obs: int = 60,

@@ -2134,12 +2134,11 @@ def ivf_topk_embeddings(spark, sf_dir):
 
 
 def _multimodal_sql() -> str:
-    """Oracle for the multimodal decode plumbing: the stand-in feature
-    is a pure sha256 expansion of the payload bytes, so the numpy twin
-    recomputes (media_id, n_bytes, f0) straight from the parquet and
-    renders a VALUES oracle — the real media decode stays honestly
-    stubbed, but the Spark-side plumbing (Arrow batching, byte
-    handling, schema) is now cross-engine certified.  Reads
+    """Oracle for the multimodal surface — a two-part composite:
+    'plumb' = sha256 stand-in features over raw text bytes (Arrow
+    batching / byte handling), 'decode' = REAL pure-numpy BMP/PPM/WAV
+    decode of deterministic synthetic payloads, featurized by the same
+    kernels the twin recomputes single-process.  Reads
     ``$NRT_TEST_SF_DIR`` like the other data-dependent generators."""
     import os
 
@@ -2148,29 +2147,41 @@ def _multimodal_sql() -> str:
     sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
     pdf = multimodal_features_oracle(sf_dir, dim=8)
     rows = ",\n".join(
-        "('{}', {}, {})".format(
-            m, int(nb),
+        "('{}', '{}', {}, {})".format(
+            part, m, int(nb),
             "NULL" if (f0 is None or f0 != f0)
             else f"CAST('{float(f0)!r}' AS DOUBLE)")
-        for m, nb, f0 in pdf.itertuples(index=False))
-    return ("SELECT media_id, CAST(n_bytes AS INT) AS n_bytes, "
+        for part, m, nb, f0 in pdf.itertuples(index=False))
+    return ("SELECT part, media_id, CAST(n_bytes AS INT) AS n_bytes, "
             "CAST(f0 AS DOUBLE) AS f0 FROM (VALUES\n" + rows
-            + "\n) t(media_id, n_bytes, f0)")
+            + "\n) t(part, media_id, n_bytes, f0)")
 
 
 @q("multimodal_features", lambda: _multimodal_sql())
 def multimodal_features(spark, sf_dir):
-    """Binary-payload decode plumbing (deterministic fake features),
-    cross-engine certified via the sha256-expansion twin."""
-    from nrt_spark.dataops.multimodal import docs_as_media, decode_features
+    """Multimodal columns, certified end to end: part 'plumb' runs the
+    sha256 stand-in over raw text payloads; part 'decode' synthesizes
+    one REAL uncompressed media file per doc (BMP/PPM image or PCM WAV,
+    kind = doc_id % 3) on the executors and runs the pure-numpy
+    decoders + luma/RMS featurizers — no stub, no NotImplementedError
+    on this path."""
+    from nrt_spark.dataops.multimodal import (decode_features,
+                                              docs_as_media,
+                                              docs_as_synth_media)
 
-    media = docs_as_media(_t(spark, sf_dir, "documents"))
-    feats = decode_features(media, dim=8, fake=True)
-    # cast BEFORE rounding: round(float32) stays float32, whose
-    # double promotion differs from the oracle's exact decimal
-    return feats.select("media_id", "n_bytes",
-                        F.round(F.element_at("features", 1).cast("double"),
-                                6).alias("f0"))
+    docs = _t(spark, sf_dir, "documents")
+    plumb = decode_features(docs_as_media(docs), dim=8, fake=True)
+    real = decode_features(docs_as_synth_media(docs), dim=8)
+
+    def shape(df, tag):
+        # cast BEFORE rounding: round(float32) stays float32, whose
+        # double promotion differs from the oracle's exact decimal
+        return df.select(
+            F.lit(tag).alias("part"), "media_id", "n_bytes",
+            F.round(F.element_at("features", 1).cast("double"), 6)
+            .alias("f0"))
+
+    return shape(plumb, "plumb").unionAll(shape(real, "decode"))
 
 
 # the three streaming entries are registered LAST: if the streaming

@@ -79,12 +79,19 @@ def test_simhash_similar_docs_close(spark, docs):
     assert d13 <= d17
 
 
-def test_multimodal_stub_raises_without_fake(spark, docs):
+def test_multimodal_undecodable_payloads(spark, docs):
+    """Raw text bytes are NOT a decodable media format: the real path
+    raises a loud ValueError naming the magic (on_error='raise'), or
+    emits NULL features per row (on_error='null'); fake=True keeps the
+    deterministic sha256 stand-in for plumbing-only tests."""
     from nrt_spark.dataops.multimodal import docs_as_media, decode_features
 
     media = docs_as_media(docs.withColumn("doc_id", F.col("doc_id").cast("string")))
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="unsupported media magic"):
         decode_features(media, fake=False).collect()
+    nulled = decode_features(media, fake=False, on_error="null").toPandas()
+    assert len(nulled) == 7 and nulled["features"].isna().all()
+    assert (nulled["n_bytes"] > 0).all()    # bytes still counted
     feats = decode_features(media, dim=8, fake=True).toPandas()
     assert len(feats) == 7 and all(len(f) == 8 for f in feats["features"])
     # deterministic across runs
@@ -93,6 +100,89 @@ def test_multimodal_stub_raises_without_fake(spark, docs):
     b = feats2.sort_values("media_id").reset_index(drop=True)
     for x, y in zip(a["features"], b["features"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_media_codecs_roundtrip():
+    """Pure-numpy codecs: encode -> decode is the identity for 24-bit
+    BMP (incl. non-multiple-of-4 widths and top-down images), binary
+    PPM (incl. header comments), and PCM16 WAV (incl. stereo
+    mono-mix and 8-bit)."""
+    import struct
+
+    from nrt_spark.dataops.multimodal import (_hash_stream, decode_bmp,
+                                              decode_ppm, decode_wav,
+                                              encode_bmp, encode_ppm,
+                                              encode_wav)
+
+    rgb = _hash_stream("img", 7 * 5 * 3).reshape(5, 7, 3)   # w=7: padded rows
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+
+    # top-down BMP: negate the height field in the encoded header and
+    # flip the pixel data rows — must decode to the same image
+    enc = bytearray(encode_bmp(rgb))
+    h = struct.unpack_from("<i", enc, 22)[0]
+    struct.pack_into("<i", enc, 22, -h)
+    stride = (7 * 3 + 3) & ~3
+    body = np.frombuffer(bytes(enc[54:]), np.uint8).reshape(5, stride)
+    enc[54:] = body[::-1].tobytes()
+    np.testing.assert_array_equal(decode_bmp(bytes(enc)), rgb)
+
+    # PPM comments in the header
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + rgb.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), rgb)
+
+    samples = _hash_stream("aud", 64 * 2).view("<i2")
+    dec, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal((dec * 32768.0).astype("<i2"), samples)
+
+    # stereo 16-bit: channels mono-mix to the sample-pair mean
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    pcm = struct.pack("<4h", 100, 200, -50, 50)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    dec2, _ = decode_wav(wav)
+    np.testing.assert_allclose(dec2 * 32768.0, [150.0, 0.0])
+
+    # 8-bit PCM: unsigned, offset-128
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + 3)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+            + b"data" + struct.pack("<I", 3) + bytes([128, 0, 255]))
+    dec8, _ = decode_wav(wav8)
+    np.testing.assert_allclose(dec8, [0.0, -1.0, 127 / 128])
+
+
+def test_media_features_and_distributed_decode(spark, docs):
+    """The real decode path end to end on Spark: per-row features from
+    the distributed mapInPandas equal the single-process
+    media_features() fold on identical synthetic payloads, for all
+    three formats, at any partitioning."""
+    from nrt_spark.dataops.multimodal import (decode_features,
+                                              docs_as_synth_media,
+                                              media_features,
+                                              synth_media_payload)
+
+    media = docs_as_synth_media(docs).repartition(4)
+    got = (decode_features(media, dim=8).toPandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(got) == 7
+    kinds = ("bmp", "ppm", "wav")
+    for _, row in got.iterrows():
+        payload = synth_media_payload(
+            row["media_id"], kinds[int(row["media_id"]) % 3])
+        assert row["n_bytes"] == len(payload)
+        want = np.asarray(media_features(payload, 8), np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(row["features"], np.float32), want)
+    # features are non-trivial (not all equal / not all zero)
+    flat = np.concatenate([np.asarray(f) for f in got["features"]])
+    assert np.ptp(flat) > 0
+
+    with pytest.raises(ValueError, match="unknown synthetic media"):
+        synth_media_payload("1", "gif")
 
 
 def test_frame_sample(spark, docs):
