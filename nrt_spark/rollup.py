@@ -621,7 +621,8 @@ def _stage_and_publish(tp: Path, frame: DataFrame, periods: list[str],
     return n_rows
 
 
-def compact_partition(spark, path: str, target_mb: int = 128) -> dict:
+def compact_partition(spark, path: str, target_mb: int = 128,
+                      lock: bool = True) -> dict:
     """Small-file compaction for one written partition directory: rewrite
     its parquet files into ``ceil(bytes / target_mb)`` files.
 
@@ -638,6 +639,16 @@ def compact_partition(spark, path: str, target_mb: int = 128) -> dict:
     On object stores use the catalog's rewrite (e.g. Iceberg
     ``rewrite_data_files``); this operates on local/NFS paths only.
 
+    SERIALIZED with the upsert writers: compaction renames the same
+    live partition directory a co-deployed streaming upsert sink (or
+    the batch job's tier_tables step) publishes into, so it takes the
+    parent directory's single-writer flock (:func:`_tier_lock` — for a
+    ``tier=X/period=Y`` layout that is exactly the tier's upsert lock)
+    for the duration of the read + swap.  Per-partition acquire/release
+    keeps holds short, so a concurrent upserter waits at most one
+    partition's rewrite.  ``lock=False`` is for callers that already
+    hold the parent lock.
+
     Returns:
         {files_before, files_after, bytes, skipped}
     """
@@ -649,6 +660,9 @@ def compact_partition(spark, path: str, target_mb: int = 128) -> dict:
             "stores use the table format's rewrite (Iceberg "
             "rewrite_data_files)")
     p = Path(path)
+    if lock:
+        with _tier_lock(p.parent):
+            return compact_partition(spark, path, target_mb, lock=False)
     staged = p.parent / f".{p.name}.compact"
     backup = p.parent / f".{p.name}.old"
     # crash recovery (idempotent): stale staging is garbage; a missing

@@ -613,3 +613,84 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
                                      n_events=("n_events", "sum"))
     for uid, row in agg.iterrows():
         assert gi[uid] == (row["n_sessions"], row["n_events"]), uid
+
+
+def test_compaction_during_streaming_upsert(spark, tmp_path):
+    """Round-6 verdict #5: small-file compaction running CONCURRENTLY
+    with the streaming upsert sink must not lose periods or rows —
+    compact_partition now takes the same per-tier flock as the upsert
+    writers, so the two serialize per partition.  The final tier must
+    equal one batch rollup of all the data, byte-for-byte in the exact
+    columns, with the compaction thread having raised nothing."""
+    import os
+    import threading
+    import time as _time
+
+    from nrt_spark.datagen import generate_tokens
+    from nrt_spark.rollup import compact_tiers, rollup_raw
+    from nrt_spark.streaming import rollup_stream_upsert
+    from nrt_spark.tokens import decode_long
+
+    long_df = decode_long(generate_tokens(spark, 25, n_obs=60)).cache()
+    long_df.count()
+    src = tmp_path / "src"
+    cuts = ["2015-03-01", "2015-06-01", "2015-09-01"]
+    windows = ([f"ts < '{cuts[0]}'"]
+               + [f"ts >= '{lo}' AND ts < '{hi}'"
+                  for lo, hi in zip(cuts, cuts[1:])]
+               + [f"ts >= '{cuts[-1]}'"])
+    for i, w in enumerate(windows):
+        (long_df.filter(w).coalesce(1)
+         .write.parquet(str(src / f"chunk{i}")))
+        for f in (src / f"chunk{i}").glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i * 10,) * 2)
+
+    out = tmp_path / "tiers"
+    stream = (spark.readStream
+              .schema("doc_id string, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "chunk*")))
+
+    stats_log, errs, stop = [], [], threading.Event()
+
+    def compact_loop():
+        try:
+            while not stop.is_set():
+                if (out / "tier=day").exists():
+                    stats_log.append(
+                        compact_tiers(spark, str(out), target_mb=128))
+                _time.sleep(0.2)
+        except Exception as exc:                      # surfaced below
+            errs.append(exc)
+
+    t = threading.Thread(target=compact_loop)
+    t.start()
+    try:
+        q = rollup_stream_upsert(stream, str(out), "day",
+                                 checkpoint=str(tmp_path / "ck"))
+        assert q.awaitTermination(180)
+        q.stop()
+        # let at least one compaction round observe the final state
+        _time.sleep(0.5)
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, errs
+    assert stats_log                       # compaction genuinely ran
+    final = compact_tiers(spark, str(out), target_mb=128)
+    assert final                           # and the tier still exists
+
+    got = (spark.read.parquet(str(out / "tier=day"))
+           .drop("period", "last_ts").toPandas()
+           .sort_values(["doc_id", "bucket_start"]).reset_index(drop=True))
+    want = (rollup_raw(long_df, "day").toPandas()
+            .sort_values(["doc_id", "bucket_start"])
+            .reset_index(drop=True))[got.columns]
+    assert len(got) == len(want)
+    for col in ("n", "vmin", "vmax", "last"):
+        np.testing.assert_array_equal(got[col].to_numpy(),
+                                      want[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(got["vsum"].to_numpy(dtype=float),
+                               want["vsum"].to_numpy(dtype=float),
+                               rtol=1e-12)
+    long_df.unpersist()
