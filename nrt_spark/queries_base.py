@@ -1,0 +1,62 @@
+"""Shared plumbing for the driver-contract query registry: the
+registration decorators, the REGISTRY/SUB_SQL dicts every domain module
+populates on import, and the cross-module SQL/column helpers.  See
+nrt_spark/queries.py for the registry contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+#: SQL for sub-queries that are folded into composite registry entries
+#: (the driver records at most 50 entries; composites keep every
+#: operator inside that window while the standalone functions stay
+#: importable for tests, bench and __spark_entry__).
+SUB_SQL: dict[str, object] = {}
+
+
+def sub(name: str, sql):
+    """Like :func:`q` but NOT driver-registered: stashes the oracle SQL
+    for reuse inside a composite entry's UNION ALL."""
+    def deco(fn):
+        SUB_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+
+#: events.value is exactly 2-decimal; float SUM/AVG fold order differs
+#: between engines once either side splits a group across scan
+#: partitions (first seen in the sf1 dry pass: 1-ulp avg drift landing
+#: on round-6 boundaries).  Every summed aggregate therefore goes
+#: through exact integer cents; min/max/max_by are fold-order-free and
+#: stay on the raw doubles.
+_CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _cents_col():
+    return F.round(F.col("value") * 100).cast("long")
+
+
+#: NULL literals for composite UNION ALL column alignment
+_NS = "CAST(NULL AS VARCHAR)"
+_ND = "CAST(NULL AS DOUBLE)"
+_NB = "CAST(NULL AS BIGINT)"
+
+
+def _null(kind: str):
+    return F.lit(None).cast(kind)

@@ -1,0 +1,586 @@
+"""Document/dedup/embedding queries: the LLM-training-data surface.
+
+Part of the driver-contract query registry — split out of the single
+registry module in round 6 (same conventions; see
+nrt_spark/queries.py for the registry contract and
+nrt_spark/queries_base.py for the shared helpers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
+from pyspark.sql import Window as W  # noqa: F401
+
+from nrt_spark.dataops import dedup as D  # noqa: F401
+from nrt_spark.dataops import simsearch as SS  # noqa: F401
+from nrt_spark.dataops import textstats as TS  # noqa: F401
+from nrt_spark.dataops.textstats import LANG_MARKERS  # noqa: F401
+from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
+                                    _cents_col, _null, _t, q, sub,
+                                    REGISTRY, SUB_SQL)
+
+# =========================================================================
+# Training-data ops: dedup, text stats, similarity search
+# =========================================================================
+
+@q("dedup_exact_docs", """
+SELECT digest, count(*) AS n_dupes, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS digest
+      FROM documents)
+GROUP BY digest
+""")
+def dedup_exact_docs(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+#: hot-shingle document-frequency cap for the near-dup queries.  A
+#: stop-phrase shingle shared by a constant fraction of 10^9 docs makes
+#: the shingle self-join quadratic; dropping shingles with df > cap
+#: bounds the per-shingle fan-out.  50 is a no-op at the test sfs
+#: (max observed df is 25 at sf0.1) but load-bearing at scale.
+MAX_SHINGLE_DF = 50
+
+_JACCARD_SQL = f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+"""
+
+
+@q("dedup_jaccard_pairs", _JACCARD_SQL)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (shingle join, no cross product);
+    hot shingles df-capped so the self-join fan-out is bounded at scale
+    (cap mirrored in the oracle's HAVING clause)."""
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), n=3,
+                           threshold=0.08, max_df=MAX_SHINGLE_DF)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('salt{i}:' || shingle)) AS h{i}" for i in range(8))
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
+        for b in range(4))
+    return f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@q("minhash_lsh_pairs", _minhash_sql())
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands of 2) candidate pairs; salted-md5 hash
+    families reproduce identically in any engine.  Hot shingles are
+    df-capped before signing (mirrored in the oracle)."""
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
+                               num_hashes=8, band_size=2,
+                               max_df=MAX_SHINGLE_DF)
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for j in range(16):
+        digit = f"CAST(('0x' || substr(h, {j + 1}, 1))::BIGINT AS INT)"
+        bit = f"((({digit}) >> {j % 4}) & 1)"
+        sums.append(f"sum({bit} * 2 - 1) AS s{j}")
+    terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, md5(w) AS h FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               ' ')) AS w
+    FROM documents) WHERE len(w) > 0
+), sums AS (
+  SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@q("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints(spark, sf_dir):
+    return D.simhash16(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def _langid_sql() -> str:
+    score_cols, case_lines = [], []
+    langs = list(LANG_MARKERS)
+    for lang, markers in LANG_MARKERS.items():
+        parts = [f"(len(string_split(' ' || t || ' ', ' {w} ')) - 1)"
+                 for w in markers]
+        score_cols.append(f"CAST({' + '.join(parts)} AS BIGINT) AS s_{lang}")
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        conds += [f"s_{lang} > s_{o}" for o in langs[:i]]
+        case_lines.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM norm
+)
+SELECT doc_id, CASE {' '.join(case_lines)} ELSE 'und' END AS pred_lang
+FROM scores
+"""
+
+
+@sub("langid_docs", _langid_sql())
+def langid_docs(spark, sf_dir):
+    return TS.language_id(_t(spark, sf_dir, "documents"))
+
+
+@sub("quality_histogram", """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(list_filter(string_split(t, ' '), w -> len(w) > 0)) AS n_words,
+         list_sum(list_transform(string_split(t, ' '), w -> len(w)))
+           / len(list_filter(string_split(t, ' '), w -> len(w) > 0))
+           AS mean_wl,
+         CAST((len(string_split(' ' || t || ' ', ' the ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' and ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' of ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' to ')) - 1)
+            + (len(string_split(' ' || t || ' ', ' a ')) - 1) AS DOUBLE)
+           / n_words AS stop_ratio
+  FROM norm
+)
+SELECT round(CASE WHEN n_words BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END, 2) AS quality,
+       count(*) AS n_docs
+FROM stats GROUP BY 1
+""")
+def quality_histogram(spark, sf_dir):
+    return (TS.quality_scores(_t(spark, sf_dir, "documents"))
+            .groupBy("quality").agg(F.count("*").alias("n_docs")))
+
+
+@sub("token_counts_by_source", """
+WITH norm AS (
+  SELECT source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT source,
+       CAST(sum(len(list_filter(string_split(t, ' '), w -> len(w) > 0)))
+            AS BIGINT) AS total_words,
+       CAST(sum(list_sum(list_transform(string_split(t, ' '),
+            w -> CAST(ceil(len(w) / 4.0) AS INT)))) AS BIGINT)
+         AS total_subwords,
+       count(*) AS n_docs
+FROM norm GROUP BY source
+""")
+def token_counts_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = TS.token_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return (tc.groupBy("source")
+            .agg(F.sum("n_words").alias("total_words"),
+                 F.sum("n_subwords").alias("total_subwords"),
+                 F.count("*").alias("n_docs")))
+
+
+@q("doc_fingerprints", """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       length(text) AS n_chars
+FROM documents
+""")
+def doc_fingerprints(spark, sf_dir):
+    return TS.fingerprints(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "fp", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@q("cosine_topk_embeddings", """
+WITH probe AS (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], probe.p::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(probe.p::DOUBLE[],
+                                        probe.p::DOUBLE[]))), 6) AS cosine
+FROM embeddings e, probe
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def cosine_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in
+             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return SS.cosine_topk(emb, probe, k=10)
+
+
+@q("embedding_neardup_pairs", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.4
+""")
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — brute-force all-pairs,
+    O(n^2) by design: retained ONLY as the capped recall oracle for
+    ``embedding_neardup_lsh`` (the bucketed scale path below).  The
+    physical strategy is a broadcast-matrix blocked matmul with an
+    exact sequential-fold re-verify (simsearch.cosine_all_pairs) — the
+    previous HOF self-join computed 2*n^2 per-pair lambda dots and
+    blew the sf1 dry-pass budget."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SS.cosine_all_pairs(emb, threshold=0.4)
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure over the MinHash-LSH candidate pairs via a
+    recursive CTE — DuckDB's stand-in for the Spark min-label
+    propagation (tiny at oracle scale; the Spark side is the one that
+    has to survive 10^9 nodes)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+), comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS member_checksum
+FROM comp GROUP BY cluster_id
+"""
+
+
+@q("dedup_clusters", _dedup_clusters_sql())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: MinHash-LSH candidate pairs -> connected
+    components (iterative min-label propagation, one shuffle per round,
+    O(cluster diameter) rounds) -> one row per duplicate cluster with
+    the canonical (min) doc id.  This is the step that turns pair
+    mining into an actual dedup decision at 10^12 scale."""
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
+                                num_hashes=8, band_size=2,
+                                max_df=MAX_SHINGLE_DF)
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (comp.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("node").alias("member_checksum")))
+
+
+@q("sessionize_events", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 21600 THEN 1 ELSE 0 END
+           AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       CAST(max(sess_n) AS BIGINT) AS max_session_events,
+       count(*) AS n_events
+FROM (SELECT user_id, session_id,
+             count(*) OVER (PARTITION BY user_id, session_id) AS sess_n
+      FROM s)
+GROUP BY user_id
+""")
+def sessionize_events(spark, sf_dir):
+    """Sessionization (gaps-and-islands over event time, 6h idle gap):
+    the standard pre-processing step for behavioral training data.
+    Pure window functions — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_s = (us - F.lag(us).over(w)) / 1e6
+    o = ev.withColumn(
+        "new_s", F.when(F.lag("ts").over(w).isNull()
+                        | (gap_s > 21600), 1).otherwise(0))
+    s = o.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sess_n = F.count("*").over(W.partitionBy("user_id", "session_id"))
+    return (s.withColumn("sess_n", sess_n)
+            .groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.max("sess_n").alias("max_session_events"),
+                 F.count("*").alias("n_events")))
+
+
+@sub("split_sample_docs", """
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM (SELECT source, doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':split'), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+GROUP BY source, split
+""")
+def split_sample_docs(spark, sf_dir):
+    """Deterministic stratified train/val split (90/10) by content-free
+    id hash — the split survives any repartitioning, resharding or
+    re-run, which is what makes it usable as a 10^12-doc dataset
+    contract.  md5-derived so any engine reproduces the assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        1, 8), 16, 10).cast("long") % 100
+    return (docs.withColumn(
+                "split", F.when(h < 90, "train").otherwise("val"))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+@sub("top_terms_by_source", r"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                             ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS n FROM words WHERE len(w) >= 5
+  GROUP BY source, w
+), r AS (
+  SELECT source, w, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
+  FROM cnt
+)
+SELECT source, rk, w AS term, n FROM r WHERE rk <= 5
+""")
+def top_terms_by_source(spark, sf_dir):
+    """Per-source vocabulary profile: top-5 terms (len >= 5) with a
+    total tiebreak — the corpus-analysis primitive behind domain mixing
+    decisions.  Partial-aggregated count + per-source top-k window."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(D.normalized_text(), " ")).alias("w")
+    ).filter(F.length("w") >= 5)
+    cnt = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("w"))
+    return (cnt.withColumn("rk", F.row_number().over(w)).filter("rk <= 5")
+            .select("source", "rk", F.col("w").alias("term"), "n"))
+
+
+@q("decontaminate_docs", """
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(len(w) - 3),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]
+                  || ' ' || w[i + 4])) AS shingle
+    FROM (SELECT doc_id, source,
+                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                              ' ') AS w
+          FROM documents)
+  )
+), ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src19'),
+hits AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)
+  WHERE sh.source <> 'src19'
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.doc_id ELSE 0 END)
+            AS BIGINT) AS clean_checksum
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> 'src19'
+GROUP BY d.source
+""")
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: training docs (all sources but the
+    held-out 'src19' eval slice) sharing any 4-gram with the eval set
+    are flagged; per-source counts plus a checksum of the surviving
+    clean ids.  Shingle semi-join — the eval side is small and
+    broadcastable, never an all-pairs comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter("source <> 'src19'")
+    ev = docs.filter("source = 'src19'")
+    hits = D.contamination_flags(train, ev, n=4) \
+        .withColumn("contaminated", F.lit(1))
+    return (train.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce("contaminated", F.lit(0)))
+                 .alias("n_contaminated"),
+                 F.sum(F.when(F.col("contaminated").isNull(),
+                              F.col("doc_id")).otherwise(0))
+                 .alias("clean_checksum")))
+
+
+@q("repetition_stats", """
+WITH grams AS (
+  SELECT doc_id, source,
+         len(w) - 2 AS total,
+         len(list_distinct(list_transform(
+             range(len(w) - 2),
+             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])))
+           AS n_distinct
+  FROM (SELECT doc_id, source,
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                            ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / total > 0.02
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(sum(floor((1.0 - CAST(n_distinct AS DOUBLE) / total) * 1e6))
+            AS BIGINT) AS dup_frac_e6_sum
+FROM grams GROUP BY source
+""")
+def repetition_stats(spark, sf_dir):
+    """Intra-document repetition filter (the Gopher-style quality rule):
+    duplicate-3-gram fraction per doc, flagged above 2% (the synthetic
+    corpus is low-repetition — 2% keeps the flag non-degenerate at
+    every test sf while the checksum column verifies every fraction).  The fraction
+    is a ratio of small ints — identical doubles in any engine — summed
+    via floor-scaling (no rounding tie rule).  One scan, one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(D.normalized_text(), " ")
+    grams = F.expr(
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', slice(w, i + 1, 3)))")
+    base = (docs.select("doc_id", "source", w.alias("w"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", "source",
+                    (F.size("w") - 2).alias("total"),
+                    F.size(F.array_distinct(grams)).alias("n_distinct")))
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("total")
+    return (base.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(dup_frac > 0.02, 1).otherwise(0))
+                 .alias("n_repetitive"),
+                 F.sum(F.floor(dup_frac * 1e6)).alias("dup_frac_e6_sum")))
+
+
+def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,
+                       threshold: float = 0.4, seed: str = "nrt") -> str:
+    """Oracle for the LSH-bucketed near-dup pair miner: the hyperplanes
+    are deterministic (sha256-derived), so the SQL inlines the identical
+    plane literals and reproduces bucket assignment — exactly, unless a
+    plane dot product lies within ~1 ulp of zero, where the Spark side's
+    matmul accumulation order could round to a different sign than
+    DuckDB's sequential fold (probability ~1e-8 at oracle scale;
+    validated empirically at all three sfs).  dim=64 matches the
+    driver's embeddings table at every sf."""
+    tables = []
+    for t in range(n_tables):
+        planes = SS.hyperplanes(dim, n_planes, f"{seed}-{t}")
+        bits = []
+        for p in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) "
+                        f">= 0 THEN {1 << p} ELSE 0 END)")
+        tables.append(f"SELECT vec_id, {t} AS table_idx,\n    "
+                      + "\n    + ".join(bits) + " AS bucket FROM e")
+    assigned = "\n  UNION ALL\n  ".join(tables)
+    cos = ("list_dot_product(ea.v, eb.v) / "
+           "(sqrt(list_dot_product(ea.v, ea.v)) * "
+           "sqrt(list_dot_product(eb.v, eb.v)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  {assigned}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = cand.id_a
+JOIN e eb ON eb.vec_id = cand.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+@q("embedding_neardup_lsh", _embedding_lsh_sql())
+def embedding_neardup_lsh(spark, sf_dir):
+    """Scale-safe embedding near-dup pair mining: multi-table
+    random-hyperplane LSH (16 tables x 4 planes), candidate pairs from a
+    bucket self-join (shuffle key = (table, bucket) hash — NO cross join
+    or inequality join in the plan), exact cosine verification on the
+    deduped candidates.  ~94% expected recall vs the brute-force twin at
+    cosine 0.4 (measured in tests/test_dataops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SS.lsh_neardup_pairs(emb, threshold=0.4, n_planes=4,
+                                n_tables=16, seed="nrt")
+
+
