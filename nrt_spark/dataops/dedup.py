@@ -94,21 +94,107 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     return sh
 
 
+def _dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups BY NORMALIZED TEXT VALUE (string equality
+    — no hashing, so distinct texts can never merge): one row per
+    distinct normalized text with the canonical (min) doc id, the full
+    member id list, and the multiplicity.
+
+    ``localCheckpoint(eager=False)``: the group-by feeds several
+    subtrees of the collapsed miners (reps, both expansion sides,
+    intra) — the same call-scoped materialization pattern as the
+    embedding miner (simsearch.lsh_neardup_pairs).  NOTE a group with
+    m duplicate copies holds all m ids in ONE array row and its intra
+    expansion emits C(m,2) pairs from one task — acceptable because
+    the OUTPUT is inherently quadratic in m; a corpus where one text
+    has millions of copies should be exact-deduped first.
+    """
+    return (docs.groupBy(normalized_text().alias("_t"))
+            .agg(F.min("doc_id").alias("rep"),
+                 F.collect_list("doc_id").alias("members"),
+                 F.count("*").alias("m"))
+            .localCheckpoint(eager=False))
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame,
+                      val_col: str) -> DataFrame:
+    """Expand representative-level pairs back through the duplicate
+    groups: every member of doc_a's group pairs with every member of
+    doc_b's group, carrying the rep-level value column."""
+    ga = groups.select(F.col("rep").alias("doc_a"),
+                       F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("doc_b"),
+                       F.col("members").alias("mb"))
+    return (rep_pairs.join(ga, "doc_a").join(gb, "doc_b")
+            .select(val_col, F.explode("ma").alias("x"), "mb")
+            .select(val_col, "x", F.explode("mb").alias("y"))
+            .select(F.least("x", "y").alias("doc_a"),
+                    F.greatest("x", "y").alias("doc_b"), val_col))
+
+
+def _intra_group_pairs(groups: DataFrame, active_reps: DataFrame,
+                       val: "F.Column", val_col: str) -> DataFrame:
+    """All (a < b) pairs within duplicate groups whose representative
+    is ACTIVE (has >= 1 surviving shingle after the df cap) — mirroring
+    the uncollapsed semantics where a doc with no shingles (too short,
+    or fully df-capped) never reaches the pair join."""
+    return (groups.join(active_reps, "rep")
+            .filter(F.col("m") >= 2)
+            .select(F.explode("members").alias("x"), "members")
+            .select("x", F.explode("members").alias("y"))
+            .filter(F.col("x") < F.col("y"))
+            .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"),
+                    val.alias(val_col)))
+
+
 def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  collapse_duplicates: bool = True) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Candidate pairs come from the shingle self-join (only docs sharing at
     least one shingle are compared); exact Jaccard is then
     |common| / (|a| + |b| - |common|).  Output: (doc_a, doc_b, jaccard)
     with doc_a < doc_b.
+
+    ``collapse_duplicates`` (default on) mines over ONE representative
+    per exact (normalized) text and defines the ``max_df`` shingle cap
+    over DISTINCT texts, then expands pairs back through the duplicate
+    groups; identical texts pair at jaccard 1.0 when their shingle set
+    survives the cap.  This fixes BOTH failure modes that exact-
+    duplicated corpora inflict on the uncollapsed miner (measured at
+    the 100x-duplicate sf10 probe, BENCH.md round 6): the quadratic
+    candidate blow-up, and — worse — the df cap silently counting
+    duplicate COPIES so every shingle of a 100x-duplicated corpus
+    exceeds any absolute cap and the miner returns ZERO pairs, missing
+    exactly the exact-duplicate pairs a dedup miner exists to find.
+    On a duplicate-free corpus the output is identical to the
+    uncollapsed miner's (df over distinct == df over raw).
     """
     # materialize the PRE-cap shingles once: the hot-list count, the
     # size agg and both sides of the pair join all scan one
     # checkpointed relation + a broadcast map-side cap filter (round-2
     # regression: the explode+distinct subtree was computed twice) —
     # and with max_df=None the three consumers still share it
+    if collapse_duplicates:
+        groups = _dup_groups(docs)
+        reps = groups.select(F.col("rep").alias("doc_id"),
+                             F.col("_t").alias("text"))
+        sh = word_shingles(reps, n=n, max_df=max_df, materialize=True)
+        rep_pairs = _jaccard_from_shingles(sh, threshold)
+        active = sh.select(F.col("doc_id").alias("rep")).distinct()
+        intra = _intra_group_pairs(
+            groups, active,
+            F.round(F.lit(1.0), 6), "jaccard").filter(
+                F.lit(1.0) >= F.lit(threshold))
+        return _expand_rep_pairs(rep_pairs, groups, "jaccard") \
+            .unionAll(intra)
     sh = word_shingles(docs, n=n, max_df=max_df, materialize=True)
+    return _jaccard_from_shingles(sh, threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Pair mining over a prepared (doc_id, shingle) relation."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -151,15 +237,50 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
-                      band_size: int = 2, max_df: int | None = None
-                      ) -> DataFrame:
+                      band_size: int = 2, max_df: int | None = None,
+                      collapse_duplicates: bool = True) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
 
     Bands of ``band_size`` consecutive minhashes are concatenated and
     hashed into buckets; the pair join runs per (band_idx, bucket).
     Output: (doc_a, doc_b, n_bands) — how many bands collided.
+
+    ``collapse_duplicates`` (default on) mines over ONE representative
+    per exact (normalized) text — so the ``max_df`` cap counts DISTINCT
+    texts, not copies — and expands pairs back through the duplicate
+    groups; identical texts collide in ALL bands (identical shingle
+    sets => identical signatures), so intra-group pairs carry
+    ``n_bands = num_hashes // band_size``, gated on the representative
+    having >= 1 surviving shingle (a doc with no shingles never gets a
+    signature on the uncollapsed path either).  Rationale and scale
+    evidence: see :func:`jaccard_pairs` — uncollapsed, a 100x-exact-
+    duplicate corpus pushes every shingle's df past any absolute cap
+    and the miner emits ZERO pairs (sf10 probe, BENCH.md round 6).
+    Duplicate-free corpora produce identical output either way.
     """
+    if collapse_duplicates:
+        groups = _dup_groups(docs)
+        reps = groups.select(F.col("rep").alias("doc_id"),
+                             F.col("_t").alias("text"))
+        # non-eager checkpoint: sig feeds the band self-join AND the
+        # intra-pair active-rep gate (same call-scoped pattern as
+        # _dup_groups)
+        sig = minhash_signatures(reps, n=n, num_hashes=num_hashes,
+                                 max_df=max_df).localCheckpoint(eager=False)
+        rep_pairs = _band_pairs(sig, num_hashes, band_size)
+        active = sig.select(F.col("doc_id").alias("rep"))
+        intra = _intra_group_pairs(
+            groups, active,
+            F.lit(num_hashes // band_size).cast("long"), "n_bands")
+        return _expand_rep_pairs(rep_pairs, groups, "n_bands") \
+            .unionAll(intra)
     sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, max_df=max_df)
+    return _band_pairs(sig, num_hashes, band_size)
+
+
+def _band_pairs(sig: DataFrame, num_hashes: int, band_size: int
+                ) -> DataFrame:
+    """The banded self-join over a prepared (doc_id, sig) relation."""
     n_bands = num_hashes // band_size
     bands = sig.select(
         "doc_id",

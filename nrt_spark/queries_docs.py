@@ -40,35 +40,57 @@ def dedup_exact_docs(spark, sf_dir):
 #: (max observed df is 25 at sf0.1) but load-bearing at scale.
 MAX_SHINGLE_DF = 50
 
-_JACCARD_SQL = f"""
-WITH sh0 AS (
+#: duplicate-collapse prologue shared by the near-dup oracles
+#: (mirrors dedup._dup_groups + mining over representatives with the
+#: df cap counted over DISTINCT normalized texts — see
+#: dedup.jaccard_pairs for the scale rationale): grp = one rep per
+#: normalized text, mem = doc -> rep, sh = the reps' df-capped
+#: shingles.
+_COLLAPSE_SQL = f"""
+dd AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+), grp AS (
+  SELECT t, min(doc_id) AS rep FROM dd GROUP BY t
+), mem AS (
+  SELECT dd.doc_id, grp.rep FROM dd JOIN grp USING (t)
+), sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
+    SELECT rep AS doc_id,
            unnest(list_transform(
              range(len(w) - 2),
              i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
-    FROM (SELECT doc_id,
-                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
-                              ' ') AS w
-          FROM documents)
+    FROM (SELECT rep, string_split(t, ' ') AS w FROM grp)
   )
 ), ok AS (
   SELECT shingle FROM sh0 GROUP BY shingle
   HAVING count(*) <= {MAX_SHINGLE_DF}
 ), sh AS (
   SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
-), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_COLLAPSE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), rp AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.08
 )
-SELECT doc_a, doc_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       greatest(x.doc_id, y.doc_id) AS doc_b, p.jaccard
+FROM rp p JOIN mem x ON x.rep = p.doc_a JOIN mem y ON y.rep = p.doc_b
+UNION ALL
+SELECT a.doc_id, b.doc_id, round(CAST(1.0 AS DOUBLE), 6)
+FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+WHERE a.rep IN (SELECT DISTINCT doc_id FROM sh)
 """
 
 
@@ -89,33 +111,26 @@ def _minhash_sql() -> str:
         f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
         for b in range(4))
     return f"""
-WITH sh0 AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             range(len(w) - 2),
-             i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shingle
-    FROM (SELECT doc_id,
-                 string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
-                              ' ') AS w
-          FROM documents)
-  )
-), ok AS (
-  SELECT shingle FROM sh0 GROUP BY shingle
-  HAVING count(*) <= {MAX_SHINGLE_DF}
-), sh AS (
-  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)
-), sig AS (
+WITH {_COLLAPSE_SQL},
+sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
 ), bands AS (
   {bands}
+), rp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-FROM bands a
-JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-            AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       greatest(x.doc_id, y.doc_id) AS doc_b, p.n_bands
+FROM rp p JOIN mem x ON x.rep = p.doc_a JOIN mem y ON y.rep = p.doc_b
+UNION ALL
+SELECT a.doc_id, b.doc_id, CAST(4 AS BIGINT)
+FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+WHERE a.rep IN (SELECT doc_id FROM sig)
 """
 
 
@@ -298,9 +313,12 @@ def _dedup_clusters_sql() -> str:
     recursive CTE — DuckDB's stand-in for the Spark min-label
     propagation (tiny at oracle scale; the Spark side is the one that
     has to survive 10^9 nodes)."""
+    # the derived-table wrap matters: WITH RECURSIVE splits a CTE body
+    # on its top-level UNION ALL (base vs recursive member), which
+    # would tear the embedded miner's cross/intra union apart
     return f"""
 WITH RECURSIVE pairs AS (
-  {_minhash_sql()}
+  SELECT * FROM ({_minhash_sql()}) mh
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs

@@ -488,6 +488,52 @@ def test_lsh_neardup_duplicate_collapse_equivalence(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_neardup_df_cap_duplicate_collapse(spark, tmp_path):
+    """Round-6 sf10 probe regression: with more duplicate copies than
+    the absolute MAX_SHINGLE_DF, the UNCOLLAPSED miners count copies
+    into every shingle's df and emit ZERO pairs — silently missing the
+    exact-duplicate pairs a dedup miner exists to find.  The collapsed
+    default (df over DISTINCT texts) must keep mining, match the
+    rewritten DuckDB oracle exactly, and emit the intra-group pairs."""
+    import duckdb
+    import pandas as pd
+
+    from nrt_spark import queries as Q
+    from nrt_spark.dataops import dedup as D
+    from nrt_spark.queries_docs import MAX_SHINGLE_DF
+
+    n_docs, n_rep = 50, MAX_SHINGLE_DF + 10
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(n_docs)
+    dup = base
+    for k in range(1, n_rep):
+        dup = dup.unionAll(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(100_000 * k)))
+    dup.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # the old failure mode, pinned: uncollapsed + absolute cap = empty
+    assert D.minhash_lsh_pairs(dup, n=3, max_df=MAX_SHINGLE_DF,
+                               collapse_duplicates=False).count() == 0
+    assert D.jaccard_pairs(dup, n=3, threshold=0.08, max_df=MAX_SHINGLE_DF,
+                           collapse_duplicates=False).count() == 0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    for name, val in [("minhash_lsh_pairs", "n_bands"),
+                      ("dedup_jaccard_pairs", "jaccard")]:
+        sql = Q.oracle_sql()[name]
+        got = (Q.queries()[name](spark, str(tmp_path)).toPandas()
+               .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        want = (con.sql(sql() if callable(sql) else sql).df()
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        # every doc with >=1 surviving shingle contributes its whole
+        # duplicate group: at least C(n_rep, 2) intra pairs per doc
+        assert len(got) >= n_rep * (n_rep - 1) // 2, name
+        pd.testing.assert_frame_equal(
+            got, want.astype(got.dtypes.to_dict()), check_exact=True), name
+
+
 def test_edit_distance_duplicate_collapse_equivalence(spark, tmp_path):
     """dedup_edit_distance's prefix-group collapse vs a direct
     DuckDB run of its own oracle SQL on duplicate-heavy constructed

@@ -21,7 +21,15 @@ what matters is determinism and FK consistency:
   dry pass exercises the unfiltered IVF branch; the filtered branch
   is covered by tests/test_dataops.py::test_ivf_train_hash_sample_path.
 
-Usage: python tools/gen_sf1.py [OUT_DIR]   (default /tmp/nrt_sf1)
+Also the sf10 generator (round-6 verdict #3's superlinear-scaler
+probe): ``--replicas 100`` produces a 100x expansion with the same
+key law (STRIDE=1e9 keeps 100 replicas far below int64), so the
+duplicate-group size grows 10 -> 100 copies per payload — the
+pair-mining output grows ~C(100,2)/C(10,2) = 110x per group, which a
+fair sf1 -> sf10 scaling read must normalize for (see BENCH.md).
+
+Usage: python tools/gen_sf1.py [OUT_DIR] [--replicas N]
+       (default /tmp/nrt_sf1, 10 replicas)
 """
 
 from __future__ import annotations
@@ -50,12 +58,15 @@ OFFSET_COLS = {
 }
 
 
-def generate(out_dir: str) -> None:
+def generate(out_dir: str, replicas: int = REPLICAS,
+             tables: list[str] | None = None) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET threads TO 4")
     for table, keys in OFFSET_COLS.items():
+        if tables is not None and table not in tables:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = out / f"{table}.parquet"
         if not keys:                       # shared dimension: copy as-is
@@ -69,11 +80,16 @@ def generate(out_dir: str) -> None:
             for c in cols)
         con.sql(
             f"COPY (SELECT {sel} FROM '{src}', "
-            f"(SELECT unnest(range({REPLICAS})) AS k) r "
+            f"(SELECT unnest(range({replicas})) AS k) r "
             f"ORDER BY r.k, {keys[0]}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}", flush=True)
 
 
 if __name__ == "__main__":
-    generate(sys.argv[1] if len(sys.argv) > 1 else "/tmp/nrt_sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = REPLICAS
+    if "--replicas" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--replicas") + 1])
+        args = [a for a in args if a != str(reps)]
+    generate(args[0] if args else "/tmp/nrt_sf1", replicas=reps)
