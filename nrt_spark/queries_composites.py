@@ -131,14 +131,31 @@ def agg_variants(spark, sf_dir):
     di = distinct_parts_per_flag(spark, sf_dir)
     pv = pivot_status_qty(spark, sf_dir)
     ev = _t(spark, sf_dir, "events")
-    ap = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("au"),
-        F.approx_count_distinct("event_id", 0.01).alias("ae"),
-        F.countDistinct("user_id").alias("eu"),
-        F.countDistinct("event_id").alias("ee"),
-        # GK percentile sketch certified by RANK bounds: with accuracy
-        # 10000 the guaranteed rank error is 0.01%, so the sketch's p50
-        # must land between the exact p45 and p55 values
+    # One aggregation per certified sketch, NOT one combined agg — and
+    # NEVER an HLL sketch and an exact countDistinct of the same
+    # high-cardinality column in one Aggregate.  Spark's two-phase
+    # distinct rewrite keys the partial aggregate on
+    # (group, distinct-value) and carries every non-distinct agg buffer
+    # through it, i.e. one HyperLogLogPlusPlus register array (~10 KB
+    # at rsd 0.01) PER DISTINCT VALUE: on the unique event_id column at
+    # the sf10 probe (10M distinct) that is ~100 GB of sketch buffers
+    # and the leg ran 298 s, vs ~6 s for each aggregate alone (the
+    # user_id leg, 100k distinct, hides the same pathology at 5 s).
+    # Splitting sketch and exact into separate aggs joined on the
+    # 5-row group key keeps the HLL partial keyed on event_type alone;
+    # the whole query dropped 415 s -> 23 s at sf10, identical output.
+    apu = (ev.groupBy("event_type").agg(
+               F.approx_count_distinct("user_id", 0.02).alias("au"))
+           .join(ev.groupBy("event_type").agg(
+               F.countDistinct("user_id").alias("eu")), "event_type"))
+    ape = (ev.groupBy("event_type").agg(
+               F.approx_count_distinct("event_id", 0.01).alias("ae"))
+           .join(ev.groupBy("event_type").agg(
+               F.countDistinct("event_id").alias("ee")), "event_type"))
+    # GK percentile sketch certified by RANK bounds: with accuracy
+    # 10000 the guaranteed rank error is 0.01%, so the sketch's p50
+    # must land between the exact p45 and p55 values
+    app = ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
         F.expr("percentile(value, 0.45)").alias("p45"),
         F.expr("percentile(value, 0.55)").alias("p55"),
@@ -164,23 +181,23 @@ def agg_variants(spark, sf_dir):
                             F.col("l_returnflag").alias("k1"),
                             F.lit("F").alias("k2"),
                             F.col("qty_F").alias("v"), "n"))
-        .unionAll(ap.select(F.lit("approx_users_ok").alias("part"),
-                            F.col("event_type").alias("k1"),
-                            _null("string").alias("k2"),
-                            ok("au", "eu", 0.10).alias("v"),
-                            F.col("eu").alias("n")))
-        .unionAll(ap.select(F.lit("approx_events_ok").alias("part"),
-                            F.col("event_type").alias("k1"),
-                            _null("string").alias("k2"),
-                            ok("ae", "ee", 0.05).alias("v"),
-                            F.col("ee").alias("n")))
-        .unionAll(ap.select(F.lit("approx_p50_ok").alias("part"),
-                            F.col("event_type").alias("k1"),
-                            _null("string").alias("k2"),
-                            ((F.col("p50a") >= F.col("p45"))
-                             & (F.col("p50a") <= F.col("p55")))
-                            .cast("double").alias("v"),
-                            F.col("nrows").alias("n")))
+        .unionAll(apu.select(F.lit("approx_users_ok").alias("part"),
+                             F.col("event_type").alias("k1"),
+                             _null("string").alias("k2"),
+                             ok("au", "eu", 0.10).alias("v"),
+                             F.col("eu").alias("n")))
+        .unionAll(ape.select(F.lit("approx_events_ok").alias("part"),
+                             F.col("event_type").alias("k1"),
+                             _null("string").alias("k2"),
+                             ok("ae", "ee", 0.05).alias("v"),
+                             F.col("ee").alias("n")))
+        .unionAll(app.select(F.lit("approx_p50_ok").alias("part"),
+                             F.col("event_type").alias("k1"),
+                             _null("string").alias("k2"),
+                             ((F.col("p50a") >= F.col("p45"))
+                              & (F.col("p50a") <= F.col("p55")))
+                             .cast("double").alias("v"),
+                             F.col("nrows").alias("n")))
     )
 
 
