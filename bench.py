@@ -200,6 +200,19 @@ PASS_SPREAD_TRIGGER = 0.25
 MAX_PASSES = 3
 
 
+#: pipeline keys copied verbatim into every bench JSON — ONE list so
+#: the full-mode and --pipeline-only outputs cannot drift apart (the
+#: scaling harness indexes these keys on both)
+_PIPELINE_JSON_KEYS = (
+    "rolled_points", "rollup_points_per_sec", "decode_points_per_sec",
+    "lttb_points_per_sec", "bytes_per_point", "bytes_per_point_quantized",
+    "monitor_advance_obs_per_sec")
+
+
+def _pipeline_fields(pipe: dict) -> dict:
+    return {k: pipe[k] for k in _PIPELINE_JSON_KEYS}
+
+
 def _bench_pass(cores: int, sf_dir: str, tag: str) -> "tuple[dict, dict]":
     """One full bench pass (headline queries + rollup pipeline) in a
     fresh Spark session."""
@@ -238,14 +251,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
             "value": pipe["wall_sec"], "unit": "sec",
             "queries": {"nrt_rollup_pipeline": pipe["wall_sec"]},
             "sf": sf_dir.rstrip("/").split("sf")[-1], "cores": cores,
-            "rolled_points": pipe["rolled_points"],
-            "rollup_points_per_sec": pipe["rollup_points_per_sec"],
-            "decode_points_per_sec": pipe["decode_points_per_sec"],
-            "lttb_points_per_sec": pipe["lttb_points_per_sec"],
-            "bytes_per_point": pipe["bytes_per_point"],
-            "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
-            "monitor_advance_obs_per_sec":
-                pipe["monitor_advance_obs_per_sec"],
+            **_pipeline_fields(pipe),
         }
 
     # self-normalization (round-3 verdict #1): the artifact carries the
@@ -283,13 +289,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cores,
-        "rolled_points": pipe["rolled_points"],
-        "rollup_points_per_sec": pipe["rollup_points_per_sec"],
-        "decode_points_per_sec": pipe["decode_points_per_sec"],
-        "lttb_points_per_sec": pipe["lttb_points_per_sec"],
-        "bytes_per_point": pipe["bytes_per_point"],
-        "bytes_per_point_quantized": pipe["bytes_per_point_quantized"],
-        "monitor_advance_obs_per_sec": pipe["monitor_advance_obs_per_sec"],
+        **_pipeline_fields(pipe),
         "hw_control_rows_per_sec_m": hw,
         "self_healing": {
             "hw_floor": HW_CONTROL_FLOOR,
@@ -305,12 +305,10 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         # local[8] leg (fresh sessions) so rounds are comparable on this
         # host, which anti-scales above ~10 cores — best-of-2 with the
         # trail recorded, same rationale as the main sweep
-        from nrt_spark.session import get_spark as _gs
-
         p8s = []
         for i in range(2):
-            spark8 = _gs(cores=8, app_name=f"bench_local8_p{i + 1}",
-                         shuffle_partitions=16)
+            spark8 = get_spark(cores=8, app_name=f"bench_local8_p{i + 1}",
+                               shuffle_partitions=16)
             p8s.append(_run_queries(spark8, sf_dir))
             spark8.stop()
         out["queries_local8"] = {k: min(p[k] for p in p8s)

@@ -359,7 +359,12 @@ def decode_features(media: DataFrame, dim: int = 16, fake: bool = False,
                     f = (_fake_feature(b, dim) if fake
                          else media_features(b, dim))
                     feats.append(np.asarray(f, np.float32).tolist())
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error: a payload that passes the magic
+                    # sniff but is truncated mid-header raises from
+                    # unpack_from, NOT ValueError — 'null' mode must
+                    # survive it (crawl-grade bytes are exactly where
+                    # truncation happens)
                     if on_error == "raise":
                         raise
                     feats.append(None)

@@ -200,16 +200,45 @@ IVF_SAMPLE_BUCKETS = 1 << 20
 IVF_EXACT_FOOTER_FILES = 256
 
 
+#: analyzed-plan node names that cannot change the row count — a plan
+#: made only of these over a file relation is sized by its footers
+_ROW_PRESERVING_NODES = frozenset(
+    {"Relation", "LogicalRelation", "Project", "SubqueryAlias", "View",
+     "ResolvedHint", "Repartition", "RepartitionByExpression", "Sort"})
+
+
+def _plan_preserves_source_rows(df: DataFrame) -> bool:
+    """True iff every node of the analyzed logical plan is row-count
+    preserving (scan / projection / alias), so the SOURCE file row
+    total equals the DataFrame's row count.  A Filter (or join, limit,
+    sample, ...) anywhere makes footer metadata an overestimate —
+    ``df.inputFiles()`` still reports the source files for those plans,
+    which is exactly why this check exists."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:*'!").split(" ", 1)[0]
+        if node and node not in _ROW_PRESERVING_NODES:
+            return False
+    return True
+
+
 def _source_row_estimate(df: DataFrame) -> "tuple[int, bool] | None":
     """(rows, exact) for a file-backed DataFrame from parquet footer
     metadata only — no Spark job, no full-table count.  Up to
     ``IVF_EXACT_FOOTER_FILES`` files every footer is read (EXACT count,
     so sizing decisions are bit-stable vs the count()-based history and
     the duckdb twin); beyond that a 64-footer sample extrapolates.
-    Returns None when the plan is not a file scan (or the files are not
-    parquet) — callers fall back to a scan-free probe."""
+    Returns None when the plan is not a bare file scan — filtered /
+    joined / sampled inputs (where source footers would OVERestimate
+    the row count and mis-size the hash cut) or non-parquet files —
+    and callers fall back to a scan-free probe."""
     import pyarrow.parquet as pq
 
+    if not _plan_preserves_source_rows(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:

@@ -22,8 +22,10 @@ from nrt_spark.queries_base import (REGISTRY, SUB_SQL, _t, q, sub)  # noqa: F401
 
 # registration happens on import; the star re-exports keep every query
 # function addressable as nrt_spark.queries.<name> (bench, tests and
-# __spark_entry__ rely on that), and the import ORDER below must keep
-# the three streaming entries registered last — tests pin it
+# __spark_entry__ rely on that).  Import order is NOT load-bearing:
+# emission order is governed solely by the explicit DRIVER_ORDER list
+# below (which tests/test_queries_registry.py pins), never by
+# REGISTRY insertion order
 from nrt_spark.queries_relational import *  # noqa: F401,F403
 from nrt_spark.queries_events import *  # noqa: F401,F403
 from nrt_spark.queries_docs import *  # noqa: F401,F403

@@ -272,8 +272,13 @@ class TierLockedError(RuntimeError):
 
 
 #: default seconds a writer waits for the tier lock before failing
-#: loudly; override per-deployment via $NRT_TIER_LOCK_TIMEOUT
-TIER_LOCK_TIMEOUT = 60.0
+#: loudly; override per-deployment via $NRT_TIER_LOCK_TIMEOUT.  The
+#: default must cover the LONGEST legitimate hold, not typical
+#: contention: a co-deployed compaction rewrites a whole partition
+#: under this lock (minutes for a multi-GB period), and timing out a
+#: healthy streaming upserter against it would kill the streaming
+#: query for doing exactly what the architecture co-deploys it to do.
+TIER_LOCK_TIMEOUT = 600.0
 
 
 @contextlib.contextmanager
@@ -642,12 +647,31 @@ def compact_partition(spark, path: str, target_mb: int = 128,
     SERIALIZED with the upsert writers: compaction renames the same
     live partition directory a co-deployed streaming upsert sink (or
     the batch job's tier_tables step) publishes into, so it takes the
-    parent directory's single-writer flock (:func:`_tier_lock` — for a
-    ``tier=X/period=Y`` layout that is exactly the tier's upsert lock)
-    for the duration of the read + swap.  Per-partition acquire/release
-    keeps holds short, so a concurrent upserter waits at most one
-    partition's rewrite.  ``lock=False`` is for callers that already
-    hold the parent lock.
+    PARENT directory's single-writer flock (:func:`_tier_lock`) for
+    the duration of the read + swap.  The parent is the right lock
+    root for both layouts this function is applied to — and the lock
+    must sit OUTSIDE the renamed directory (an flock file inside it
+    would be renamed away mid-swap, orphaning the held inode so a
+    later writer could acquire a fresh lock file while the old one is
+    still held):
+
+    - ``.../tier=X/period=Y`` (the ``write_tier``/``upsert_tier``
+      layout): the parent IS the tier dir, so this is exactly the
+      upsert protocol's lock — compactor and co-deployed upserter
+      contend on one file.  (Compacting the ``tier=X`` LEVEL of this
+      layout is a structural no-op: the tier dir holds only
+      ``period=`` subdirs, no parquet files, so it reports ``skipped``
+      without taking the swap path.)
+    - ``.../blocks/tier=X`` (the compressed-blocks layout, where tier
+      is the LEAF partition with parquet files directly inside): no
+      upsert protocol exists on this layout — the blocks dir is only
+      ever fully overwritten by the job's serial ``rollup_blocks``
+      step — so the parent (blocks-root) lock serializes concurrent
+      compactors, the only concurrent writers possible there.
+
+    Per-partition acquire/release keeps holds short, so a concurrent
+    upserter waits at most one partition's rewrite.  ``lock=False`` is
+    for callers that already hold the tier lock.
 
     Returns:
         {files_before, files_after, bytes, skipped}

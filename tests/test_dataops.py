@@ -102,6 +102,27 @@ def test_multimodal_undecodable_payloads(spark, docs):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_multimodal_truncated_payloads_null_mode(spark):
+    """Review regression: payloads that PASS the magic sniff but are
+    truncated mid-header raise struct.error from unpack_from, not
+    ValueError — 'null' mode must survive them (crawl-grade bytes are
+    exactly where truncation happens), 'raise' mode must still fail."""
+    from nrt_spark.dataops.multimodal import decode_features
+
+    bad = spark.createDataFrame(
+        [("a", bytearray(b"BM\x01\x02")),                    # short BMP
+         ("b", bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt ")),  # short WAV
+         ("c", bytearray(b"P6\n9999999 9999999\n255\n")),    # short PPM
+         ("d", None)],
+        "media_id string, payload binary")
+    out = (decode_features(bad, on_error="null").toPandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert out["features"].isna().all()
+    assert out["n_bytes"].tolist() == [4, 16, 23, 0]
+    with pytest.raises(Exception):
+        decode_features(bad, on_error="raise").collect()
+
+
 def test_media_codecs_roundtrip():
     """Pure-numpy codecs: encode -> decode is the identity for 24-bit
     BMP (incl. non-multiple-of-4 widths and top-down images), binary
@@ -454,6 +475,37 @@ def test_ivf_train_hash_sample_path(spark):
     np.testing.assert_array_equal(C1, C2)       # layout-independent
     C_twin, _, _ = ivf_ann_oracle(sf, n_cells=8, iters=5, sample=sample)
     np.testing.assert_array_equal(C1, C_twin)   # cross-engine bit-exact
+
+
+def test_ivf_footer_estimate_plan_gate(spark):
+    """Review regression: ``df.inputFiles()`` reports SOURCE files even
+    for filtered plans, so the footer estimate must refuse any plan
+    with a row-count-changing node (the estimate would oversize the
+    hash cut for the post-filter row count) while still accepting the
+    row-preserving shapes ivf_train is actually handed (bare scans,
+    projections, repartitions)."""
+    from nrt_spark.dataops.simsearch import (_plan_preserves_source_rows,
+                                             _source_row_estimate,
+                                             ivf_train)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assert _source_row_estimate(emb) == (n, True)          # footer-exact
+    assert _source_row_estimate(emb.select("vec_id", "embedding")) \
+        == (n, True)
+    assert _source_row_estimate(emb.repartition(16)) == (n, True)
+    # row-count-changing plans fall back to the scan-free probe
+    for changed in (emb.filter("vec_id > 100"), emb.limit(50),
+                    emb.sample(0.5, seed=1)):
+        assert not _plan_preserves_source_rows(changed)
+        assert _source_row_estimate(changed) is None
+    # and the probe path still trains deterministically on them
+    import numpy as np
+    filt = emb.filter("vec_id % 2 = 0")
+    Ca = ivf_train(filt, n_cells=4, iters=3, sample=50)
+    Cb = ivf_train(filt.repartition(8).filter("vec_id % 2 = 0"),
+                   n_cells=4, iters=3, sample=50)
+    np.testing.assert_array_equal(Ca, Cb)
 
 
 def test_lsh_neardup_duplicate_collapse_equivalence(spark):

@@ -34,7 +34,6 @@ Usage: python tools/gen_sf1.py [OUT_DIR] [--replicas N]
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import duckdb
@@ -87,9 +86,12 @@ def generate(out_dir: str, replicas: int = REPLICAS,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = REPLICAS
-    if "--replicas" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--replicas") + 1])
-        args = [a for a in args if a != str(reps)]
-    generate(args[0] if args else "/tmp/nrt_sf1", replicas=reps)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("out_dir", nargs="?", default="/tmp/nrt_sf1")
+    ap.add_argument("--replicas", type=int, default=REPLICAS,
+                    help=f"expansion factor over sf0.1 "
+                         f"(default {REPLICAS} = sf1; 100 = sf10)")
+    a = ap.parse_args()
+    generate(a.out_dir, replicas=a.replicas)
