@@ -161,3 +161,20 @@ def test_counter_rate_single_exchange(spark):
     plan = plan_of(Q.events_counter_rate(spark, SF_DIR))
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_agg_variants_hll_partials_keyed_on_group_only(spark):
+    """Round-6 sf10 regression pin: an HLL sketch co-located with an
+    exact countDistinct of the same column makes the two-phase distinct
+    rewrite key the partial aggregate on (group, distinct-value) and
+    carry one ~10 KB HLL register array PER DISTINCT VALUE (~100 GB on
+    a unique column at 10M rows; 298 s measured vs ~6 s split).  Pin:
+    every partial_approx_count_distinct in the plan aggregates with
+    keys = the group column only — never the distinct column."""
+    plan = plan_of(Q.queries()["agg_variants"](spark, SF_DIR))
+    lines = [ln for ln in plan.splitlines()
+             if "partial_approx_count_distinct" in ln]
+    assert lines, "HLL partials missing from the plan?"
+    for ln in lines:
+        keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
+        assert "user_id" not in keys and "event_id" not in keys, ln
