@@ -143,6 +143,23 @@ def main() -> int:
             rec["status"] = f"ERROR: {type(exc).__name__}: {exc}"[:300]
         out[name] = rec
         print(f"# {name}: {json.dumps(rec)[:240]}", flush=True)
+        # pay the GC debt OUTSIDE the next query's timed window: a
+        # multi-million-row toPandas leaves hundreds of MB of Arrow
+        # batches in the driver JVM's old gen plus the pandas frames in
+        # the Python heap, and the resulting full GCs landed inside
+        # whatever query ran next — measured at sf10: the same
+        # bitmask_filter_events read 56.0 s mid-batch (after the 2M-row
+        # asof collect) and 4.4 s in a fresh session.  Dropping the
+        # references and forcing both collectors here keeps each wall a
+        # measurement of ITS query.
+        sdf = odf = None                                  # noqa: F841
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:                  # noqa: BLE001 - best effort
+            pass
     n_pass = sum(1 for r in out.values()
                  if r.get("status") in ("pass", "rows_only"))
     print(json.dumps({"sf1_dir": sf1, "queries": out,
