@@ -37,8 +37,19 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
                   materialize: bool = False,
-                  broadcast_hot: bool = True) -> DataFrame:
+                  broadcast_hot: bool = True,
+                  spread: bool = True) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
+
+    ``spread`` (default) repartitions the docs BY doc_id BEFORE the
+    shingle explode: compressed text packs ~100x, so a bytes-sized
+    scan split can hold the whole corpus in a couple of tasks and the
+    explode — the expensive part — runs nearly serial (the simhash16
+    docstring has the measured sf10 numbers).  The exchanged bytes are
+    the raw pre-explode docs, a small fraction of the exploded stream
+    the downstream distinct shuffles anyway.  Pass ``False`` when the
+    input is already shuffle-partitioned (e.g. the collapsed miners'
+    representative tables, which come out of a group-by).
 
     ``max_df`` drops shingles appearing in more than that many docs
     (stop-phrase control — essential before any self-join at scale).
@@ -70,6 +81,8 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     the relation is consumed within one job and a retry restarts that
     job, but not a building block for long-lived cached state.
     """
+    if spread:
+        docs = docs.repartition("doc_id")
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
     # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
@@ -180,7 +193,8 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         groups = _dup_groups(docs)
         reps = groups.select(F.col("rep").alias("doc_id"),
                              F.col("_t").alias("text"))
-        sh = word_shingles(reps, n=n, max_df=max_df, materialize=True)
+        sh = word_shingles(reps, n=n, max_df=max_df, materialize=True,
+                           spread=False)
         rep_pairs = _jaccard_from_shingles(sh, threshold)
         active = sh.select(F.col("doc_id").alias("rep")).distinct()
         intra = _intra_group_pairs(
@@ -218,7 +232,8 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
-                       max_df: int | None = None) -> DataFrame:
+                       max_df: int | None = None,
+                       spread: bool = True) -> DataFrame:
     """MinHash signature per doc: minhash_i = min(md5(i || shingle)).
 
     Salted md5 gives ``num_hashes`` independent hash families that any
@@ -228,7 +243,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     # and the capped output would otherwise each recompute the
     # explode+distinct (uncapped, the single consumer needs no copy)
     sh = word_shingles(docs, n=n, max_df=max_df,
-                       materialize=max_df is not None)
+                       materialize=max_df is not None, spread=spread)
     aggs = [F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
             .alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -265,7 +280,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
         # non-eager checkpoint: sig feeds the band self-join AND the
         # intra-pair active-rep gate (same call-scoped pattern as
         # _dup_groups)
-        sig = minhash_signatures(reps, n=n, num_hashes=num_hashes,
+        sig = minhash_signatures(reps, n=n, num_hashes=num_hashes, spread=False,
                                  max_df=max_df).localCheckpoint(eager=False)
         rep_pairs = _band_pairs(sig, num_hashes, band_size)
         active = sig.select(F.col("doc_id").alias("rep"))
@@ -403,14 +418,32 @@ def simhash16(docs: DataFrame) -> DataFrame:
     md5(word) — engine-portable bit extraction via substring + conv.
     Output: (doc_id, simhash int).
     """
-    words = docs.select(
+    # Spread BEFORE the explode: compressed text packs ~100x, so a
+    # bytes-sized scan split (maxPartitionBytes) of a text table can
+    # hold the whole corpus in 1-2 tasks and the 10^2x word explosion
+    # runs on 2 cores (measured at sf10: the 500k-doc table is one
+    # 6 MB parquet file -> 2 tasks -> 30 s; repartitioned -> 14.5 s).
+    # Hashing on doc_id lets the final per-doc aggregate REUSE this
+    # partitioning, so the plan still has exactly one Exchange — of
+    # the small pre-explode rows instead of the post-agg sums.
+    words = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word"))
-    words = words.filter(F.length("word") > 0).withColumn(
-        "h", F.md5("word"))
+    # Two 8-hex-char conv()s instead of sixteen 1-char ones: the first
+    # 16 hex digits land in two bigints and every bit extraction
+    # becomes an integer shift — same digits, same bits, ~2x less
+    # per-word expression work on what is a 10^8-word-row scan at sf10
+    # (digit j is the nibble at (7 - j%8)*4 of its word).
+    words = (words.filter(F.length("word") > 0)
+             .withColumn("h", F.md5("word"))
+             .withColumn("w1", F.conv(F.substring("h", 1, 8), 16, 10)
+                         .cast("bigint"))
+             .withColumn("w2", F.conv(F.substring("h", 9, 8), 16, 10)
+                         .cast("bigint")))
     bit_cols = []
     for j in range(16):
-        digit = F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        word = F.col("w1") if j < 8 else F.col("w2")
+        shift = (7 - j % 8) * 4 + j % 4
+        bit = F.shiftright(word, shift).bitwiseAND(F.lit(1))
         bit_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     sums = words.groupBy("doc_id").agg(*bit_cols)
     fp = None

@@ -129,7 +129,12 @@ def bigram_freq_stats(docs: DataFrame) -> DataFrame:
     (heavy-hitter-compressible) model artifact.
     Output: (doc_id, n_bigrams, freq_sum).
     """
-    words = docs.select(
+    # spread BEFORE the explode — same rationale and measured numbers
+    # as dedup.word_shingles(spread=True): a compressed text table's
+    # byte-sized scan splits under-parallelize the explosion, and the
+    # exchanged pre-explode bytes are a small fraction of the exploded
+    # stream the bigram group-by shuffles anyway
+    words = docs.repartition("doc_id").select(
         "doc_id",
         F.filter(F.split(normalized_text(), " "),
                  lambda w: F.length(w) > 0).alias("w"))
