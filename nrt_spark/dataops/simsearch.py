@@ -219,7 +219,12 @@ def _plan_preserves_source_rows(df: DataFrame) -> bool:
     except Exception:
         return False
     for line in plan.splitlines():
-        node = line.lstrip(" +-:*'!").split(" ", 1)[0]
+        # token = node name only: some Spark versions render
+        # "Relation[cols] parquet" with no space before the bracket,
+        # so split on "[" as well as " " (review finding: a rendering
+        # change must not silently flip bare scans onto the probe path)
+        node = (line.lstrip(" +-:*'!").split(" ", 1)[0]
+                .split("[", 1)[0])
         if node and node not in _ROW_PRESERVING_NODES:
             return False
     return True

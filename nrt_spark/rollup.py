@@ -324,12 +324,14 @@ def _tier_lock(tier_path: Path, timeout: "float | None" = None):
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
         deadline = time.monotonic() + timeout
+        next_report = time.monotonic() + 5.0
         while True:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
             except OSError:
-                if time.monotonic() >= deadline:
+                now = time.monotonic()
+                if now >= deadline:
                     try:
                         holder = json.loads(lock.read_text())
                     except (OSError, ValueError):
@@ -342,6 +344,19 @@ def _tier_lock(tier_path: Path, timeout: "float | None" = None):
                         f"kernel automatically, so a full timeout means "
                         f"the holder is alive and stuck (or the timeout "
                         f"is too short for its commit)") from None
+                if now >= next_report:
+                    # the wait can legitimately run minutes (a partition
+                    # compaction under the same lock) — say who we are
+                    # waiting on so the pipeline reads blocked, not hung
+                    try:
+                        holder = json.loads(lock.read_text())
+                    except (OSError, ValueError):
+                        holder = {}
+                    log.warning(
+                        "waiting on tier lock %s held by %s "
+                        "(%.0fs left before TierLockedError)",
+                        lock, holder or "unknown", deadline - now)
+                    next_report = now + 30.0
                 time.sleep(min(0.1, max(0.0, deadline - time.monotonic())))
         os.ftruncate(fd, 0)
         os.write(fd, json.dumps(
