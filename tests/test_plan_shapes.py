@@ -178,3 +178,12 @@ def test_agg_variants_hll_partials_keyed_on_group_only(spark):
     for ln in lines:
         keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
         assert "user_id" not in keys and "event_id" not in keys, ln
+
+
+def test_simhash_spread_single_exchange(spark):
+    """Spread-before-explode must stay shuffle-NEUTRAL: the pre-explode
+    repartition by doc_id is the one Exchange in the plan because the
+    per-doc aggregate reuses its partitioning.  A regression that adds
+    a second shuffle (or drops the spread) fails here."""
+    plan = plan_of(Q.queries()["simhash_fingerprints"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
