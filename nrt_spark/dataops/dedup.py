@@ -35,6 +35,25 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def spread_if_underpartitioned(docs: DataFrame,
+                               key: str = "doc_id") -> DataFrame:
+    """Adaptive parallelism guard for NARROW text operators (per-row
+    expression work with no shuffle to piggyback on): repartition up to
+    the session's default parallelism, but ONLY when the input plan
+    under-splits (compressed text packs ~100x, so a small corpus can
+    land in 1-2 byte-sized scan splits and a heavy per-row expression
+    chain runs nearly serial).  On a cluster-scale table the scan has
+    plenty of splits and this is a structural no-op — no shuffle is
+    added — which is exactly why the narrow operators use this instead
+    of the unconditional spread the explode+aggregate operators get
+    (there the repartition replaces a shuffle; here it would add one).
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism, key)
+    return docs
+
+
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
                   materialize: bool = False,
                   broadcast_hot: bool = True,

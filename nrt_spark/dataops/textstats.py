@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nrt_spark.dataops.dedup import normalized_text
+from nrt_spark.dataops.dedup import (normalized_text,
+                                     spread_if_underpartitioned)
 
 #: tiny per-language stopword marker lists for the language-ID heuristic
 #: (public common-word lists); dict order = tie-break priority (first wins)
@@ -33,6 +34,8 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (ceil of
     chars/4 per word, the common ~4-chars-per-token heuristic).
     Output: (doc_id, n_words, n_subwords)."""
+    # narrow per-row HOF chain: guard against under-split text scans
+    docs = spread_if_underpartitioned(docs)
     words = F.split(normalized_text(), " ")
     return docs.select(
         "doc_id",
@@ -47,6 +50,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic document quality in [0, 1]: length band + mean word
     length band + stopword presence.  Output: (doc_id, n_words,
     mean_word_len, stopword_ratio, quality)."""
+    # narrow per-row HOF chain: guard against under-split text scans
+    docs = spread_if_underpartitioned(docs)
     t = normalized_text()
     words = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
     n_words = F.size(words)
@@ -73,6 +78,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def lang_scores(docs: DataFrame) -> DataFrame:
     """Marker-hit score per language: (doc_id, s_en, s_de, s_fr, s_es)."""
+    # narrow per-row HOF chain: guard against under-split text scans
+    docs = spread_if_underpartitioned(docs)
     t = normalized_text()
     cols = []
     for lang, markers in LANG_MARKERS.items():

@@ -528,7 +528,9 @@ def repetition_stats(spark, sf_dir):
     every test sf while the checksum column verifies every fraction).  The fraction
     is a ratio of small ints — identical doubles in any engine — summed
     via floor-scaling (no rounding tie rule).  One scan, one shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    # narrow per-row gram chain: adaptive spread (no-op on well-split
+    # cluster scans; see dedup.spread_if_underpartitioned)
+    docs = D.spread_if_underpartitioned(_t(spark, sf_dir, "documents"))
     w = F.split(D.normalized_text(), " ")
     grams = F.expr(
         "transform(sequence(0, size(w) - 3), "

@@ -43,7 +43,9 @@ def tokenize_docs(spark, sf_dir):
     (identical ids in any engine).  Output: per-doc token count +
     checksum of the id stream."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
+    # spread-before-explode (see dedup.word_shingles): the per-doc agg
+    # reuses this partitioning, so the Exchange count is unchanged
+    words = docs.repartition("doc_id").select(
         "doc_id",
         F.explode(F.split(D.normalized_text(), " ")).alias("w")
     ).filter(F.length("w") > 0)
