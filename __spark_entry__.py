@@ -29,9 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
     day = Q.events_rollup_day(spark, SF0001)
     ewma = Q.events_ewma(spark, SF0001)
     cusum = Q.events_cusum(spark, SF0001)
+    # No broadcast hints: the per-user aggregates grow one row per user
+    # (SF-proportional), so a forced F.broadcast() would crash — not
+    # degrade — once users outgrow the broadcast limit at 100x scale.
+    # AQE auto-broadcasts them while they fit.
     return (
-        day.join(F.broadcast(ewma), "user_id")
-        .join(F.broadcast(cusum), "user_id")
+        day.join(ewma, "user_id")
+        .join(cusum, "user_id")
         .withColumn("is_break", F.abs("process") > 3.0)
     )
 

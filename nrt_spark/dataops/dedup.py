@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -126,7 +128,8 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     return sh
 
 
-def _dup_groups(docs: DataFrame) -> DataFrame:
+def _dup_groups(docs: DataFrame,
+                max_group: int | None = None) -> DataFrame:
     """Exact-duplicate groups BY NORMALIZED TEXT VALUE (string equality
     — no hashing, so distinct texts can never merge): one row per
     distinct normalized text with the canonical (min) doc id, the full
@@ -135,17 +138,45 @@ def _dup_groups(docs: DataFrame) -> DataFrame:
     ``localCheckpoint(eager=False)``: the group-by feeds several
     subtrees of the collapsed miners (reps, both expansion sides,
     intra) — the same call-scoped materialization pattern as the
-    embedding miner (simsearch.lsh_neardup_pairs).  NOTE a group with
-    m duplicate copies holds all m ids in ONE array row and its intra
-    expansion emits C(m,2) pairs from one task — acceptable because
-    the OUTPUT is inherently quadratic in m; a corpus where one text
-    has millions of copies should be exact-deduped first.
+    embedding miner (simsearch.lsh_neardup_pairs).
+
+    A group with m duplicate copies holds all m ids in ONE array row
+    and its intra expansion emits C(m,2) pairs from one task, so a
+    pathological mega-group (millions of exact copies in a crawl-grade
+    corpus) would silently OOM one executor.  ``max_group`` (default
+    env ``NRT_DEDUP_MAX_GROUP``, 1,000,000) guards that: a larger
+    group FAILS the job loudly in-task (``assert_true``, no driver
+    action needed) with the rep id and size in the message — truncating
+    would silently change the pair output, and a corpus that trips the
+    guard should be exact-deduped before pair mining anyway.  Pass
+    ``max_group=0`` (or set the env to 0) to disable.
     """
-    return (docs.groupBy(normalized_text().alias("_t"))
-            .agg(F.min("doc_id").alias("rep"),
-                 F.collect_list("doc_id").alias("members"),
-                 F.count("*").alias("m"))
-            .localCheckpoint(eager=False))
+    if max_group is None:
+        try:
+            max_group = int(os.environ.get("NRT_DEDUP_MAX_GROUP",
+                                           1_000_000))
+        except ValueError:
+            max_group = 1_000_000
+    g = (docs.groupBy(normalized_text().alias("_t"))
+         .agg(F.min("doc_id").alias("rep"),
+              F.collect_list("doc_id").alias("members"),
+              F.count("*").alias("m")))
+    if max_group:
+        # fold the guard into the consumed `m` column so Catalyst can't
+        # prune it away; assert_true returns NULL when the predicate
+        # holds and raises (failing the task, then the job) otherwise
+        guard = F.assert_true(
+            F.col("m") <= max_group,
+            F.concat_ws(
+                "", F.lit("duplicate group of "), F.col("m").cast("string"),
+                F.lit(" copies (rep="), F.col("rep"),
+                F.lit(f") exceeds max_group={max_group}: its member "
+                      "array concentrates in ONE row and its intra "
+                      "expansion is C(m,2) pairs in one task. "
+                      "Exact-dedup the corpus first, or raise/disable "
+                      "NRT_DEDUP_MAX_GROUP.")))
+        g = g.withColumn("m", F.when(guard.isNull(), F.col("m")))
+    return g.localCheckpoint(eager=False)
 
 
 def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame,
@@ -241,8 +272,12 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
+    # sizes is one row per doc with a surviving shingle (corpus-
+    # proportional): no broadcast hint — a forced F.broadcast() crashes
+    # at the broadcast limit on a crawl-scale corpus, while hint-free
+    # AQE broadcasts it whenever it actually fits.
     return (
-        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.col("n_common")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)

@@ -130,13 +130,20 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """)
 def region_revenue(spark, sf_dir):
-    """Star join: both dims broadcast (verified in the physical plan)."""
+    """Star join.  nation/region are FIXED-size dims (25/5 rows at every
+    SF) so their broadcast hints are safe; customer grows ~150k rows x SF,
+    so it carries NO hint — a forced ``F.broadcast(customer)`` exceeds the
+    broadcast/driver memory limit and CRASHES the job at a 100x scale-up,
+    whereas hint-free AQE broadcasts it while small and falls back to a
+    shuffled join once it outgrows autoBroadcastJoinThreshold
+    (test_plan_shapes pins that the broadcast still arises hint-free at
+    driver scale)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -328,16 +335,20 @@ WHERE p.p_size > 30
 GROUP BY s.s_name, n.n_name, p.p_brand
 """)
 def supplier_part_revenue(spark, sf_dir):
-    """Fact-to-two-dims star join over the remaining schema tables
-    (supplier/part), dims broadcast."""
+    """Fact-to-two-dims star join over the remaining schema tables.
+    supplier (~10k x SF rows) and part (~200k x SF rows) are
+    SF-proportional, so they carry NO broadcast hint: a forced hint
+    crashes (broadcast OOM) instead of degrading once either side
+    outgrows memory at 100x.  AQE auto-broadcasts them while small;
+    only fixed-size nation keeps the hint."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part").filter("p_size > 30")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("s_name", F.col("n_name").alias("nation"), "p_brand")
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
                    * F.round((1 - F.col("l_discount")) * 100).cast("long"))

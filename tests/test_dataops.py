@@ -42,6 +42,31 @@ def test_short_docs_produce_no_shingles(spark, docs):
     assert (sh["doc_id"] == 1).sum() > 0
 
 
+def test_dup_groups_mega_group_guard(spark, docs, monkeypatch):
+    """A duplicate group larger than NRT_DEDUP_MAX_GROUP must FAIL
+    loudly in-task (one collect_list row + C(m,2) intra explosion would
+    otherwise OOM one executor silently on a crawl-grade corpus); under
+    the cap the same pipeline runs clean."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from nrt_spark.dataops.dedup import _dup_groups
+
+    mega = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"), "*"
+    ).select((F.col("doc_id") + F.col("k") * 100).alias("doc_id"), "text")
+
+    monkeypatch.setenv("NRT_DEDUP_MAX_GROUP", "5")
+    with pytest.raises(SparkRuntimeException, match="NRT_DEDUP_MAX_GROUP"):
+        _dup_groups(mega).collect()
+
+    monkeypatch.setenv("NRT_DEDUP_MAX_GROUP", "50")
+    g = _dup_groups(mega).collect()
+    assert max(r["m"] for r in g) == 20      # docs 1+2 are dups, x10 replicas
+
+    monkeypatch.setenv("NRT_DEDUP_MAX_GROUP", "0")     # disabled
+    assert len(_dup_groups(mega).collect()) == len(g)
+
+
 def test_jaccard_finds_near_dup(spark, docs):
     from nrt_spark.dataops.dedup import jaccard_pairs
 

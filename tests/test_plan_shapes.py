@@ -30,10 +30,27 @@ def test_pricing_summary_pushdown_and_pruning(spark):
     assert "l_comment" not in plan
 
 
+def executed_plan_of(df) -> str:
+    """Final (post-AQE) physical plan: run the query, then read the plan.
+    Needed wherever the property under test is an ADAPTIVE decision —
+    e.g. a broadcast that must arise WITHOUT a hint.  The adaptive plan
+    string repeats the tree under '== Initial Plan =='; keep only the
+    final section so node counts aren't doubled."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_star_joins_broadcast(spark):
+    """The SF-proportional dims (customer, supplier, part) carry NO
+    F.broadcast() hint — a forced hint CRASHES (broadcast/driver OOM)
+    instead of degrading once the dim outgrows memory at a 100x
+    scale-up.  This pins that at driver scale AQE still broadcasts all
+    three joins hint-free, so dropping the hints cost nothing here while
+    restoring Spark's safety valve at scale."""
     for name in ("region_revenue", "supplier_part_revenue"):
         fn = Q.queries().get(name) or getattr(Q, name)
-        plan = plan_of(fn(spark, SF_DIR))
+        plan = executed_plan_of(fn(spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") == 3, name
         assert "SortMergeJoin" not in plan, name
 
@@ -187,3 +204,36 @@ def test_simhash_spread_single_exchange(spark):
     a second shuffle (or drops the spread) fails here."""
     plan = plan_of(Q.queries()["simhash_fingerprints"](spark, SF_DIR))
     assert plan.count("Exchange") == 1
+
+
+def test_adaptive_spread_is_structural_noop_on_well_split_scan(
+        spark, tmp_path):
+    """spread_if_underpartitioned's cluster-safety claim, pinned in the
+    EXECUTED plan: on a scan with >= defaultParallelism splits it must
+    add NO Exchange (on a 100-TB table the repartition would be a
+    pointless full shuffle); on a 1-split input — the compressed-text
+    packing hazard it exists for — the Exchange must appear."""
+    from pyspark.sql import functions as F
+
+    from nrt_spark.dataops.dedup import spread_if_underpartitioned
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    dp = spark.sparkContext.defaultParallelism
+
+    # (a) well-split: one tiny file per partition -> >= dp scan splits
+    many = str(tmp_path / "many")
+    docs.repartition(2 * dp).write.parquet(many)
+    src = spark.read.parquet(many)
+    out = spread_if_underpartitioned(src).select(
+        F.length("text").alias("n"))
+    plan = executed_plan_of(out)
+    assert "Exchange" not in plan, "no-op branch must not add a shuffle"
+
+    # (b) 1-split: the spread must materialize as an Exchange
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    src1 = spark.read.parquet(one)
+    out1 = spread_if_underpartitioned(src1).select(
+        F.length("text").alias("n"))
+    plan1 = executed_plan_of(out1)
+    assert "Exchange" in plan1, "1-split input must be spread"
