@@ -14,10 +14,13 @@
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Column, functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -315,12 +318,31 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
     if est is not None:
         big = est[0] > thresh
         cut = -(-K * thresh // est[0]) if big else K          # ceil
+        if big and not est[1]:
+            # footer-SAMPLED estimate (>IVF_EXACT_FOOTER_FILES files):
+            # the starting cut can differ from an exact-count twin's,
+            # and a different cut with >= `sample` survivors selects a
+            # different id set — cross-engine certification then needs
+            # the twin to start from this same estimate
+            log.warning(
+                "ivf_train: row total %d is a footer-SAMPLED estimate "
+                "(>IVF_EXACT_FOOTER_FILES source files); cut sizing is "
+                "inexact — for bit-exact cross-engine certification "
+                "pass row_estimate=%d to ivf_ann_oracle so both sides "
+                "derive the same cut", est[0], est[0])
     else:
         # scan-free size probe: take() runs incrementally (1 partition,
         # then 4x more, ...) so on a huge table it touches a handful of
         # partitions; on a small one it is the whole (cheap) scan
         big = len(embeddings.select(id_col).take(thresh + 1)) > thresh
         cut = 1                       # most aggressive; escalation sizes it
+        if big:
+            log.warning(
+                "ivf_train: input is not a bare parquet scan; the cut "
+                "starts at 1 and escalates geometrically — this can "
+                "select a different sample than an exact-count twin. "
+                "Certify on the footer-exact path, or pass the same "
+                "starting cut sizing to ivf_ann_oracle")
 
     def draw(c: int) -> list:
         src = cand

@@ -253,7 +253,8 @@ def report_oracle(monitor: str, n_docs: int = 300, n_obs: int = 130,
 
 def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
                    sample: int = 10000, nprobe: int = 6,
-                   seed: str = "nrt-ivf"):
+                   seed: str = "nrt-ivf",
+                   row_estimate: int | None = None):
     """Numpy twin of the IVF coarse-quantizer training
     (dataops.simsearch.ivf_train): reads the embeddings parquet with
     DuckDB (no Spark), trains the same sha256-seeded Lloyd quantizer on
@@ -262,6 +263,15 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     deterministic — a pure function of the ordered sample — so the twin
     certifies the Spark side end to end: sample determinism, centroid
     math, per-vector cell assignment and the probe-cell pruned ranking.
+
+    ``row_estimate``: the row total to size the hash cut from.  Default
+    (None) uses DuckDB's footer-exact ``count(*)`` — the bit-exact twin
+    of ivf_train's footer-exact path (≤IVF_EXACT_FOOTER_FILES files,
+    every test scale).  When ivf_train ran on the footer-SAMPLED path
+    (>256 files — it logs a warning with the estimate to pass here),
+    give that estimate so both engines derive the same starting cut;
+    with ≥sample survivors on both sides the selected id set is then
+    identical.
     """
     import hashlib
 
@@ -272,9 +282,12 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     from nrt_spark.hashing import spark_xxhash64_long
 
     src = f"'{sf_dir}/embeddings.parquet'"
-    # count(*) on parquet is footer-metadata-only in duckdb — the exact
-    # twin of ivf_train's footer-exact _source_row_estimate
-    n_total = duckdb.sql(f"SELECT count(*) FROM {src}").fetchone()[0]
+    if row_estimate is not None:
+        n_total = int(row_estimate)
+    else:
+        # count(*) on parquet is footer-metadata-only in duckdb — the
+        # exact twin of ivf_train's footer-exact _source_row_estimate
+        n_total = duckdb.sql(f"SELECT count(*) FROM {src}").fetchone()[0]
     if n_total > IVF_SAMPLE_OVERSAMPLE * sample:
         # mirror ivf_train's hash-threshold pre-filter (python % on a
         # signed hash == Spark pmod: both non-negative), INCLUDING its
@@ -463,3 +476,72 @@ def lttb_oracle(n_docs: int = 60, n_obs: int = 60,
             ts = str(np.datetime64(int(days[i]), "D")) + " 00:00:00"
             rows.append((doc, ts, float(vals[i])))
     return pd.DataFrame(rows, columns=["doc_id", "ts", "value"])
+
+
+def union_find_components(a: "np.ndarray", b: "np.ndarray"):
+    """Connected components over an (a, b) edge list with DETERMINISTIC
+    min-label output: every node maps to the smallest node id in its
+    component, regardless of edge order.
+
+    Pure vectorized numpy — min-hook (``np.minimum.at``) alternated
+    with full pointer-doubling path compression until fixpoint, O(E
+    log N) total work — so it stays single-process-feasible on edge
+    lists whose recursive-CTE closure (O(N*E) in DuckDB) is not.  This
+    is the sf>=10 certification twin of
+    :func:`nrt_spark.dataops.dedup.connected_components` (which runs
+    the same min-label iteration distributed).
+
+    Returns (nodes, labels): sorted unique node ids and, aligned, the
+    min node id of each node's component.
+    """
+    ids = np.concatenate([np.asarray(a, dtype=np.int64),
+                          np.asarray(b, dtype=np.int64)])
+    nodes, inv = np.unique(ids, return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # full path compression (pointer doubling)
+        while True:
+            gp = parent[parent]
+            if np.array_equal(gp, parent):
+                break
+            parent = gp
+        ra, rb = parent[ia], parent[ib]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        live = lo != hi
+        if not live.any():
+            break
+        # hook every higher root at the MIN of its incident lower
+        # roots; unique indices aren't guaranteed, hence minimum.at
+        np.minimum.at(parent, hi[live], lo[live])
+    # nodes are sorted ascending, so the min root INDEX is the min id
+    return nodes, nodes[parent]
+
+
+def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
+    """Single-process twin of queries_docs.dedup_clusters for scales
+    where the recursive-CTE closure is quadratic-infeasible (sf>=10):
+    the candidate EDGE LIST still comes from the exact certified
+    MinHash-LSH pair SQL (queries_docs._minhash_sql, DuckDB), and the
+    transitive closure is the numpy union-find above instead of the
+    CTE.  tests/test_oracle_pipeline.py pins this twin label-identical
+    to the CTE oracle at driver scales."""
+    import duckdb
+
+    from nrt_spark.queries_docs import _minhash_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    pairs = con.sql(
+        f"SELECT doc_a, doc_b FROM ({_minhash_sql()}) p").fetchnumpy()
+    nodes, labels = union_find_components(pairs["doc_a"], pairs["doc_b"])
+    df = pd.DataFrame({"cluster_id": labels, "node": nodes})
+    out = (df.groupby("cluster_id", as_index=False)
+           .agg(n_members=("node", "size"),
+                member_checksum=("node", "sum")))
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    out["member_checksum"] = out["member_checksum"].astype("int64")
+    return out

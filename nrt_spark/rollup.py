@@ -317,8 +317,21 @@ def _tier_lock(tier_path: Path, timeout: "float | None" = None):
     import fcntl
 
     if timeout is None:
-        timeout = float(os.environ.get("NRT_TIER_LOCK_TIMEOUT",
-                                       TIER_LOCK_TIMEOUT))
+        raw = os.environ.get("NRT_TIER_LOCK_TIMEOUT")
+        if raw is None:
+            timeout = TIER_LOCK_TIMEOUT
+        else:
+            # validate here, once, with a message naming the variable —
+            # a bare float() ValueError would otherwise surface deep
+            # inside every upsert/compaction as a cryptic stack
+            try:
+                timeout = float(raw)
+            except ValueError:
+                log.warning(
+                    "NRT_TIER_LOCK_TIMEOUT=%r is not a number; "
+                    "falling back to the default %ss",
+                    raw, TIER_LOCK_TIMEOUT)
+                timeout = TIER_LOCK_TIMEOUT
     tier_path.mkdir(parents=True, exist_ok=True)
     lock = tier_path / ".upsert.lock"
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)

@@ -7,7 +7,10 @@ monitor.  This is what makes the generated monitor-report SQL oracles
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from nrt_spark.hashing import spark_xxhash64_str, xxh64
@@ -88,3 +91,47 @@ def test_report_oracle_matches_engine(spark, monitor, kwargs):
     gp = got["process"].to_numpy(np.float64)
     wp = want["process"].to_numpy(np.float64)
     assert np.all((gp == wp) | (np.isnan(gp) & np.isnan(wp)))
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_union_find_twin_matches_recursive_cte(sf_dir):
+    """The numpy union-find twin (the sf>=10 certification oracle for
+    dedup_clusters, where the recursive CTE is O(N*E)-infeasible) must
+    be label-identical to the CTE closure at the scales where both
+    run."""
+    import duckdb
+
+    from nrt_spark.oracle import dedup_clusters_oracle
+    from nrt_spark.queries_docs import _dedup_clusters_sql
+
+    if not Path(sf_dir).exists():
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = (con.sql(_dedup_clusters_sql()).df()
+            .sort_values("cluster_id").reset_index(drop=True))
+    got = (dedup_clusters_oracle(sf_dir)
+           .sort_values("cluster_id").reset_index(drop=True))
+    for c in ("cluster_id", "n_members", "member_checksum"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_union_find_handles_chains_and_order():
+    """Min-label correctness on shapes that break naive one-pass
+    hooking: a long chain presented in worst-case (reversed) order, a
+    star, and disjoint pairs."""
+    import numpy as np
+
+    from nrt_spark.oracle import union_find_components
+
+    # chain 9-8-7-...-0 given high-to-low, plus star at 100, pair (200,201)
+    a = np.array([9, 8, 7, 6, 5, 4, 3, 2, 1, 100, 100, 100, 200])
+    b = np.array([8, 7, 6, 5, 4, 3, 2, 1, 0, 101, 102, 103, 201])
+    nodes, labels = union_find_components(a, b)
+    lab = dict(zip(nodes.tolist(), labels.tolist()))
+    assert all(lab[i] == 0 for i in range(10))
+    assert all(lab[i] == 100 for i in (100, 101, 102, 103))
+    assert lab[200] == lab[201] == 200

@@ -566,6 +566,23 @@ def test_tier_lock_waits_out_transient_hold(tmp_path):
     assert 0.3 <= waited < 5.0              # blocked, then acquired
 
 
+def test_tier_lock_malformed_env_timeout_falls_back(tmp_path, monkeypatch,
+                                                    caplog):
+    """A malformed NRT_TIER_LOCK_TIMEOUT must not raise a bare
+    ValueError deep inside an upsert — it logs a warning naming the
+    variable and falls back to the default timeout."""
+    import logging
+
+    from nrt_spark.rollup import _tier_lock
+
+    monkeypatch.setenv("NRT_TIER_LOCK_TIMEOUT", "ten-seconds")
+    tier = tmp_path / "tier=day"
+    with caplog.at_level(logging.WARNING, logger="nrt_spark.rollup"):
+        with _tier_lock(tier):          # uncontended: acquires instantly
+            pass
+    assert any("NRT_TIER_LOCK_TIMEOUT" in r.message for r in caplog.records)
+
+
 def test_write_tier_dynamic_prunes_stale_partitions(spark, long_df,
                                                     tmp_path):
     """dynamic=True + prune_stale=True restores full-overwrite

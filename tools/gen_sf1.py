@@ -93,5 +93,10 @@ if __name__ == "__main__":
     ap.add_argument("--replicas", type=int, default=REPLICAS,
                     help=f"expansion factor over sf0.1 "
                          f"(default {REPLICAS} = sf1; 100 = sf10)")
+    ap.add_argument("--tables", default="",
+                    help="comma-separated subset to generate (default "
+                         "all) — e.g. the sf100 probe only needs "
+                         "events,documents,embeddings")
     a = ap.parse_args()
-    generate(a.out_dir, replicas=a.replicas)
+    generate(a.out_dir, replicas=a.replicas,
+             tables=[t for t in a.tables.split(",") if t] or None)

@@ -33,6 +33,73 @@ SF01 = "/root/testdata/sf0.1"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries whose full result is too large to collect at sf>=1 (round 6:
+# events_rollup_tiers materialized 4.9M rows to the driver at sf10 just
+# for hashing — 10.4x wall, plus GC debt polluting neighbor walls).
+# These are certified by an ORDER-INDEPENDENT integer checksum computed
+# INSIDE each engine (same polynomial both sides, summed as
+# decimal/hugeint), so the comparison moves ONE row per engine.
+DIGEST_QUERIES = {"events_rollup_tiers"}
+
+# Queries certified by a PYTHON twin at this harness's scales instead
+# of the registry's DuckDB SQL (dedup_clusters: the recursive-CTE
+# closure is O(N*E) — quadratic in the pair graph — while the numpy
+# union-find twin is O(E log N); label-identical to the CTE at
+# sf0.001/sf0.01, pinned in tests/test_oracle_pipeline.py).
+def _py_oracles():
+    from nrt_spark.oracle import dedup_clusters_oracle
+
+    return {"dedup_clusters": dedup_clusters_oracle}
+
+# per-column primes; floor(x*1e4+0.5) is the repo's tie-free half-up
+# double->int rule (doubles are bit-identical across engines here — the
+# full-collect compare proved that at sf1 — so any deterministic map
+# certifies)
+_TIER_DIGEST_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(CAST(sum(CAST((
+           (CASE tier WHEN 'day' THEN 1 WHEN 'week' THEN 2 ELSE 3 END)
+               * 1000003
+           + user_id * 1009
+           + date_diff('day', DATE '1970-01-01', CAST(bucket AS DATE))
+               * 10007
+           + n * 31
+           + coalesce(CAST(floor(vsum * 10000 + 0.5) AS BIGINT), 0) * 7
+           + coalesce(CAST(floor(mean * 10000 + 0.5) AS BIGINT), 0) * 11
+           + coalesce(CAST(floor(vmin * 10000 + 0.5) AS BIGINT), 0) * 13
+           + coalesce(CAST(floor(vmax * 10000 + 0.5) AS BIGINT), 0) * 17
+           + coalesce(CAST(floor(last * 10000 + 0.5) AS BIGINT), 0) * 19
+       ) AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS digest
+FROM ({sql}) t
+"""
+
+
+def _digest_tiers_spark(df):
+    """Spark twin of _TIER_DIGEST_SQL over the events_rollup_tiers
+    result schema (tier, user_id, bucket, n, vsum, mean, vmin, vmax,
+    last)."""
+    from pyspark.sql import functions as F
+
+    def scaled(c, p):
+        return F.coalesce(
+            F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long"),
+            F.lit(0).cast("long")) * F.lit(p)
+
+    tcode = (F.when(F.col("tier") == "day", 1)
+             .when(F.col("tier") == "week", 2).otherwise(3))
+    day_num = F.datediff(F.col("bucket").cast("date"),
+                         F.lit("1970-01-01")).cast("long")
+    term = (tcode.cast("long") * 1000003
+            + F.col("user_id").cast("long") * 1009
+            + day_num * 10007
+            + F.col("n").cast("long") * 31
+            + scaled("vsum", 7) + scaled("mean", 11)
+            + scaled("vmin", 13) + scaled("vmax", 17)
+            + scaled("last", 19)).cast("decimal(38,0)")
+    return df.agg(F.count("*").alias("n_rows"),
+                  F.sum(term).cast("decimal(38,0)")
+                  .cast("string").alias("digest"))
+
 
 def canon(pdf):
     import numpy as np
@@ -100,13 +167,26 @@ def main() -> int:
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'")
+        # partial probe dirs (e.g. the sf100 docs+events probe) only
+        # carry the tables under test; views for absent files are
+        # skipped and their queries simply error out as not-run
+        if Path(f"{sf1}/{t}.parquet").exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'")
 
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
     names = [n for n in Q.DRIVER_ORDER if n in Q.queries()]
     oracle = Q.oracle_sql()
     out = {}
+    # warm-up: pay the session cold-start (codegen, parquet footer
+    # caches, JIT) OUTSIDE the first timed query — round 6 measured the
+    # first slot (nrt_ewma_report) at 9.5s vs 2.2-2.6s for its four
+    # siblings purely from placement
+    t0 = time.time()
+    for t in ("events", "lineitem", "documents"):
+        if Path(f"{sf1}/{t}.parquet").exists():
+            spark.read.parquet(f"{sf1}/{t}.parquet").count()
+    warmup_sec = round(time.time() - t0, 2)
     for name in names:
         if name in skip or (only and name not in only):
             out[name] = {"status": "skipped"}
@@ -114,7 +194,11 @@ def main() -> int:
         rec = {}
         try:
             t0 = time.time()
-            sdf = Q.queries()[name](spark, sf1).toPandas()
+            qdf = Q.queries()[name](spark, sf1)
+            if name in DIGEST_QUERIES:
+                qdf = _digest_tiers_spark(qdf)
+                rec["digest_mode"] = True
+            sdf = qdf.toPandas()
             rec["spark_sec"] = round(time.time() - t0, 2)
             rec["rows"] = len(sdf)
             if args.baseline_sf01:
@@ -124,13 +208,26 @@ def main() -> int:
                 try:
                     os.environ["NRT_TEST_SF_DIR"] = SF01
                     t0 = time.time()
-                    Q.queries()[name](spark, SF01).toPandas()
+                    q01 = Q.queries()[name](spark, SF01)
+                    if name in DIGEST_QUERIES:
+                        q01 = _digest_tiers_spark(q01)
+                    q01.toPandas()
                     rec["spark_sec_sf01"] = round(time.time() - t0, 2)
                 finally:
                     os.environ["NRT_TEST_SF_DIR"] = sf1
-            if name in oracle and not args.no_oracle:
+            if name in _py_oracles() and not args.no_oracle:
+                fn = _py_oracles()[name]
+                t0 = time.time()
+                odf = fn(sf1)
+                rec["oracle_sec"] = round(time.time() - t0, 2)
+                rec["oracle_kind"] = "python-twin"
+                err = compare(canon(sdf), canon(odf))
+                rec["status"] = "pass" if err is None else f"FAIL: {err}"
+            elif name in oracle and not args.no_oracle:
                 sql = oracle[name]
                 sql = sql() if callable(sql) else sql
+                if name in DIGEST_QUERIES:
+                    sql = _TIER_DIGEST_SQL.format(sql=sql)
                 t0 = time.time()
                 odf = con.sql(sql).df()
                 rec["oracle_sec"] = round(time.time() - t0, 2)
@@ -162,7 +259,8 @@ def main() -> int:
             pass
     n_pass = sum(1 for r in out.values()
                  if r.get("status") in ("pass", "rows_only"))
-    print(json.dumps({"sf1_dir": sf1, "queries": out,
+    print(json.dumps({"sf1_dir": sf1, "warmup_sec": warmup_sec,
+                      "queries": out,
                       "passed": n_pass, "total": len(names)}))
     return 0
 
