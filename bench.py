@@ -278,15 +278,26 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
             continue                      # degraded/noisy: take pass 3
         break
 
-    timings = {k: min(p[k] for p in q_passes) for k in q_passes[0]}
-    pipe = max(pipes, key=lambda p: p["rollup_points_per_sec"])
+    # Headline = the BEST SINGLE COMPLETE PASS (queries + its own
+    # pipeline run from the same session) — a wall some run actually
+    # achieved.  Round-6 advisor fix: composing per-query minima across
+    # passes published a total no single run produced; the minima are
+    # kept as the `queries_min` diagnostic.
+    totals_full = [sum(q_passes[i].values()) + pipes[i]["wall_sec"]
+                   for i in range(len(q_passes))]
+    best_i = totals_full.index(min(totals_full))
+    timings = dict(q_passes[best_i])
+    pipe = pipes[best_i]
     timings["nrt_rollup_pipeline"] = pipe["wall_sec"]
     out = {
         "metric": "headline query wall-clock + token rollup/compress "
                   "throughput",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "headline_policy": "best-single-complete-pass",
         "queries": timings,
+        "queries_min": {k: min(p[k] for p in q_passes)
+                        for k in q_passes[0]},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cores": cores,
         **_pipeline_fields(pipe),
@@ -295,6 +306,7 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
             "hw_floor": HW_CONTROL_FLOOR,
             "degraded_control": degraded,
             "passes": len(q_passes),
+            "best_pass": best_i + 1,
             "pass_totals": [round(sum(p.values()), 3) for p in q_passes],
             "pipeline_points_per_sec_passes":
                 [p["rollup_points_per_sec"] for p in pipes],
@@ -303,18 +315,42 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     }
     if cores != 8:
         # local[8] leg (fresh sessions) so rounds are comparable on this
-        # host, which anti-scales above ~10 cores — best-of-2 with the
-        # trail recorded, same rationale as the main sweep
+        # host, which anti-scales above ~10 cores — best single pass of
+        # 2 with the trail recorded, same policy as the main sweep
         p8s = []
         for i in range(2):
             spark8 = get_spark(cores=8, app_name=f"bench_local8_p{i + 1}",
                                shuffle_partitions=16)
             p8s.append(_run_queries(spark8, sf_dir))
             spark8.stop()
-        out["queries_local8"] = {k: min(p[k] for p in p8s)
-                                 for k in p8s[0]}
+        totals8 = [sum(p.values()) for p in p8s]
+        out["queries_local8"] = p8s[totals8.index(min(totals8))]
         out["queries_local8_passes"] = p8s
     return out
+
+
+def compact_summary(res: dict) -> dict:
+    """Tail-cap insurance (round-6 verdict #2): the driver's capture
+    keeps only the LAST 2000 characters of stdout and parses the tail's
+    final line, so the round-6 full record (~4.5 KB, one line) lost its
+    own headline to the cut.  This distills the fields a grader needs —
+    headline value + policy, per-query walls of the winning pass, the
+    hw control, the self-healing trail totals — into one line that
+    comfortably fits the cap; ``main`` prints it LAST."""
+    sh = res.get("self_healing", {})
+    compact = {k: res[k] for k in
+               ("metric", "value", "unit", "headline_policy", "queries",
+                "sf", "cores", "rollup_points_per_sec", "bytes_per_point",
+                "bytes_per_point_quantized",
+                "hw_control_rows_per_sec_m") if k in res}
+    compact["pass_totals"] = sh.get("pass_totals")
+    compact["best_pass"] = sh.get("best_pass")
+    compact["degraded_control"] = sh.get("degraded_control")
+    if "queries_local8" in res:
+        compact["local8_total"] = round(
+            sum(res["queries_local8"].values()), 3)
+    compact["summary_of"] = "full record: first stdout line + BENCH_FULL.json"
+    return compact
 
 
 def run_fit_bench(cores: int, n_docs: int = 3000) -> dict:
@@ -599,5 +635,19 @@ if __name__ == "__main__":
     elif args.single_node:
         print(json.dumps(run_single_node_compare(args.cores)))
     else:
-        print(json.dumps(run_bench(args.cores, args.sf_dir,
-                                   include_queries=not args.pipeline_only)))
+        res = run_bench(args.cores, args.sf_dir,
+                        include_queries=not args.pipeline_only)
+        print(json.dumps(res))
+        if "self_healing" in res:
+            # full record also lands next to bench.py so the audit trail
+            # (query_passes, local8 passes) survives any stdout capture
+            try:
+                full_path = os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_FULL.json")
+                with open(full_path, "w") as fh:
+                    json.dump(res, fh, indent=1)
+            except OSError:
+                pass
+            # LAST line: compact summary that fits the driver's
+            # 2000-char stdout tail cap (see compact_summary docstring)
+            print(json.dumps(compact_summary(res)))
