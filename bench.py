@@ -13,7 +13,9 @@ The default mode is SELF-HEALING against throttled host sessions: it
 checks the embedded pure-JVM hardware control against the healthy
 floor, runs the sweep at least twice in fresh sessions (a third time
 when the control is degraded or the passes disagree >25%), publishes
-the per-query best, and records every pass in the JSON.
+the BEST SINGLE COMPLETE PASS as the headline (cross-pass per-query
+minima stay in the `queries_min` diagnostic), and records every pass
+in the JSON.
 
 Scaling mode (north rule): ``python bench.py --scaling`` runs the
 token-rollup+compression pipeline in two fresh JVMs at local[N] and
@@ -232,8 +234,10 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     official number, so the default mode now (a) measures the pure-JVM
     hardware control FIRST and compares it to the healthy floor,
     (b) runs the query sweep + pipeline TWICE in fresh sessions and
-    keeps the per-query best, and (c) adds a third pass when the
-    control is below floor or the two passes disagree beyond 25%.
+    publishes the best single COMPLETE pass (round-6 advisor fix —
+    cross-pass per-query minima are kept only as the ``queries_min``
+    diagnostic), and (c) adds a third pass when the control is below
+    floor or the two passes disagree beyond 25%.
     Every pass is recorded in the JSON (``pass_totals`` +
     ``query_passes``) so the rerun trail is auditable; a single
     throttled session can no longer become the round's record."""

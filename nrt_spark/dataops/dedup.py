@@ -152,10 +152,19 @@ def _dup_groups(docs: DataFrame,
     ``max_group=0`` (or set the env to 0) to disable.
     """
     if max_group is None:
+        raw = os.environ.get("NRT_DEDUP_MAX_GROUP")
         try:
-            max_group = int(os.environ.get("NRT_DEDUP_MAX_GROUP",
-                                           1_000_000))
+            max_group = 1_000_000 if raw is None else int(raw)
         except ValueError:
+            # warn-and-fallback, same contract as NRT_TIER_LOCK_TIMEOUT
+            # in rollup._tier_lock: a silently ignored override would
+            # later fail the job claiming a limit the operator thought
+            # they had raised
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "NRT_DEDUP_MAX_GROUP=%r is not an integer; falling "
+                "back to the default 1000000", raw)
             max_group = 1_000_000
     g = (docs.groupBy(normalized_text().alias("_t"))
          .agg(F.min("doc_id").alias("rep"),

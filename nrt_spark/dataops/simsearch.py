@@ -338,11 +338,14 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
         cut = 1                       # most aggressive; escalation sizes it
         if big:
             log.warning(
-                "ivf_train: input is not a bare parquet scan; the cut "
-                "starts at 1 and escalates geometrically — this can "
-                "select a different sample than an exact-count twin. "
-                "Certify on the footer-exact path, or pass the same "
-                "starting cut sizing to ivf_ann_oracle")
+                "ivf_train: input is not a bare parquet scan, so no "
+                "row estimate exists; the cut starts at 1 and escalates "
+                "geometrically — this can select a different sample "
+                "than ivf_ann_oracle, which sizes its cut from a row "
+                "count (its row_estimate parameter cannot express "
+                "'start at 1'). Bit-exact cross-engine certification "
+                "requires the footer-exact path (a bare parquet scan "
+                "of <= IVF_EXACT_FOOTER_FILES files)")
 
     def draw(c: int) -> list:
         src = cand

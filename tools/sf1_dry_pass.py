@@ -39,7 +39,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # These are certified by an ORDER-INDEPENDENT integer checksum computed
 # INSIDE each engine (same polynomial both sides, summed as
 # decimal/hugeint), so the comparison moves ONE row per engine.
-DIGEST_QUERIES = {"events_rollup_tiers"}
+# Maps name -> (spark_digest_fn, sql_digest_template): the digest is
+# SCHEMA-SPECIFIC, so adding a query here requires writing a digest
+# pair for ITS columns (the tier digest below only fits
+# events_rollup_tiers).  Populated after the digest helpers.
+DIGEST_QUERIES: dict = {}
 
 # Queries certified by a PYTHON twin at this harness's scales instead
 # of the registry's DuckDB SQL (dedup_clusters: the recursive-CTE
@@ -99,6 +103,10 @@ def _digest_tiers_spark(df):
     return df.agg(F.count("*").alias("n_rows"),
                   F.sum(term).cast("decimal(38,0)")
                   .cast("string").alias("digest"))
+
+
+DIGEST_QUERIES["events_rollup_tiers"] = (_digest_tiers_spark,
+                                         _TIER_DIGEST_SQL)
 
 
 def canon(pdf):
@@ -177,6 +185,7 @@ def main() -> int:
     only = {s for s in args.only.split(",") if s}
     names = [n for n in Q.DRIVER_ORDER if n in Q.queries()]
     oracle = Q.oracle_sql()
+    py_oracles = _py_oracles()
     out = {}
     # warm-up: pay the session cold-start (codegen, parquet footer
     # caches, JIT) OUTSIDE the first timed query — round 6 measured the
@@ -196,11 +205,15 @@ def main() -> int:
             t0 = time.time()
             qdf = Q.queries()[name](spark, sf1)
             if name in DIGEST_QUERIES:
-                qdf = _digest_tiers_spark(qdf)
+                qdf = DIGEST_QUERIES[name][0](qdf)
                 rec["digest_mode"] = True
             sdf = qdf.toPandas()
             rec["spark_sec"] = round(time.time() - t0, 2)
-            rec["rows"] = len(sdf)
+            # in digest mode keep the TRUE result cardinality (the
+            # digest's n_rows), not the 1-row digest frame — it feeds
+            # both the scaling read and the empty-result check below
+            rec["rows"] = (int(sdf["n_rows"].iloc[0])
+                           if name in DIGEST_QUERIES else len(sdf))
             if args.baseline_sf01:
                 # restore in a finally: a throw here would leave every
                 # LATER query's data-dependent oracle generator reading
@@ -210,13 +223,13 @@ def main() -> int:
                     t0 = time.time()
                     q01 = Q.queries()[name](spark, SF01)
                     if name in DIGEST_QUERIES:
-                        q01 = _digest_tiers_spark(q01)
+                        q01 = DIGEST_QUERIES[name][0](q01)
                     q01.toPandas()
                     rec["spark_sec_sf01"] = round(time.time() - t0, 2)
                 finally:
                     os.environ["NRT_TEST_SF_DIR"] = sf1
-            if name in _py_oracles() and not args.no_oracle:
-                fn = _py_oracles()[name]
+            if name in py_oracles and not args.no_oracle:
+                fn = py_oracles[name]
                 t0 = time.time()
                 odf = fn(sf1)
                 rec["oracle_sec"] = round(time.time() - t0, 2)
@@ -227,7 +240,7 @@ def main() -> int:
                 sql = oracle[name]
                 sql = sql() if callable(sql) else sql
                 if name in DIGEST_QUERIES:
-                    sql = _TIER_DIGEST_SQL.format(sql=sql)
+                    sql = DIGEST_QUERIES[name][1].format(sql=sql)
                 t0 = time.time()
                 odf = con.sql(sql).df()
                 rec["oracle_sec"] = round(time.time() - t0, 2)
