@@ -545,3 +545,103 @@ def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
     out["n_members"] = out["n_members"].astype("int64")
     out["member_checksum"] = out["member_checksum"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic cross-engine result digest
+#
+# Certifies a query result that is too large to collect (tens of
+# millions of rows at the sf100 probe scale) by reducing it, INSIDE
+# each engine, to one order-independent row: (n_rows, digest) where
+# digest = sum over rows of a 60-bit md5 of the row's canonical string.
+# Spark and DuckDB build byte-identical canonical strings per row —
+# same column order (sorted by name), same per-type rendering — so the
+# sums match iff the multisets of canonical rows match.  Unlike the
+# hand-written tier digest in tools/sf1_dry_pass.py this needs no
+# per-query schema work: the Spark side reads df.schema, the SQL side
+# reads DuckDB's DESCRIBE of the oracle query.
+#
+# Canonical per-type rendering (both engines):
+#   boolean    -> 0/1
+#   integers   -> decimal string
+#   double/float/decimal -> floor(x * 1e6 + 0.5) as int64 ('NaN' for
+#                 NaN) — the repo's half-up rule at 6 decimals, the
+#                 precision every rounded query column already carries;
+#                 doubles are bit-identical across engines on these
+#                 queries (proved by the full-collect compare at sf1)
+#   date       -> days since 1970-01-01
+#   timestamp  -> microseconds since epoch
+#   string     -> as-is
+#   NULL       -> '∅' (distinct from any rendered value)
+# Row string = canonical columns joined with '|'; row hash = the first
+# 15 hex digits (60 bits) of md5(row string), an exact BIGINT in both
+# engines; digest = SUM(row hash) in 128-bit (decimal(38,0)/HUGEINT).
+# ---------------------------------------------------------------------------
+
+_NULL_MARK = "∅"
+
+
+def generic_digest_spark(df):
+    """Reduce a Spark DataFrame to the canonical (n_rows, digest) row
+    described above.  Pure Catalyst — no collect, no UDF."""
+    from pyspark.sql import functions as F, types as T
+
+    cols = []
+    for name in sorted(df.columns):
+        field = df.schema[name]
+        c = F.col(name)
+        t = field.dataType
+        if isinstance(t, T.BooleanType):
+            s = c.cast("int").cast("string")
+        elif isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+            d = c.cast("double")
+            s = F.when(F.isnan(d), F.lit("NaN")).otherwise(
+                F.floor(d * 1000000 + F.lit(0.5))
+                .cast("long").cast("string"))
+        elif isinstance(t, T.DateType):
+            s = F.datediff(c, F.lit("1970-01-01")).cast("string")
+        elif isinstance(t, T.TimestampType):
+            s = F.unix_micros(c).cast("string")
+        else:                      # integers, strings
+            s = c.cast("string")
+        cols.append(F.coalesce(s, F.lit(_NULL_MARK)))
+    row = F.concat_ws("|", *cols)
+    # first 15 hex digits of md5 = 60 bits, exact in a signed int64
+    rhash = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rhash.cast("decimal(38,0)")).cast("string").alias("digest"))
+
+
+def _canon_sql_col(name: str, dtype: str) -> str:
+    q = f'"{name}"'
+    d = dtype.upper()
+    if d == "BOOLEAN":
+        e = f"CAST(CAST({q} AS INT) AS VARCHAR)"
+    elif (d in ("DOUBLE", "FLOAT", "REAL")
+          or d.startswith("DECIMAL") or d.startswith("NUMERIC")):
+        e = (f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN' "
+             f"ELSE CAST(CAST(floor(CAST({q} AS DOUBLE) * 1000000 + 0.5) "
+             f"AS BIGINT) AS VARCHAR) END")
+    elif d == "DATE":
+        e = (f"CAST(date_diff('day', DATE '1970-01-01', {q}) "
+             f"AS VARCHAR)")
+    elif d.startswith("TIMESTAMP"):
+        e = f"CAST(epoch_us({q}) AS VARCHAR)"
+    else:                          # integers (any width), strings
+        e = f"CAST({q} AS VARCHAR)"
+    return f"coalesce({e}, '{_NULL_MARK}')"
+
+
+def generic_digest_sql(sql: str, columns: "list[tuple[str, str]]") -> str:
+    """DuckDB twin of :func:`generic_digest_spark` over an arbitrary
+    oracle query.  ``columns`` is [(name, duckdb_type), ...] from
+    ``DESCRIBE (sql)``; the caller supplies it so this stays a pure
+    string transform."""
+    parts = ", ".join(_canon_sql_col(n, t)
+                      for n, t in sorted(columns, key=lambda c: c[0]))
+    row = f"concat_ws('|', {parts})"
+    rhash = f"CAST('0x' || substr(md5({row}), 1, 15) AS BIGINT)"
+    return (f"SELECT count(*) AS n_rows, "
+            f"CAST(sum(CAST({rhash} AS HUGEINT)) AS VARCHAR) AS digest "
+            f"FROM ({sql}) _gd")

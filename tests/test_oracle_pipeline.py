@@ -135,3 +135,55 @@ def test_union_find_handles_chains_and_order():
     assert all(lab[i] == 0 for i in range(10))
     assert all(lab[i] == 100 for i in (100, 101, 102, 103))
     assert lab[200] == lab[201] == 200
+
+
+@pytest.mark.parametrize("qname", [
+    "events_gapfill_day",       # bigint, date, boolean, double
+    "events_process_values",    # strings + doubles
+    "doc_fingerprints",         # strings / hashes
+    "events_rollup_tiers",      # timestamp buckets + doubles
+    "pricing_summary",          # decimals/doubles + strings
+])
+def test_generic_digest_cross_engine(spark, qname):
+    """The schema-driven generic digest (the sf100 probe's certification
+    path for results too large to collect) must produce the SAME
+    (n_rows, digest) row from Spark and from DuckDB on identical
+    parquet — across the full type palette the registry emits (ints,
+    doubles, decimals, strings, dates, timestamps, booleans)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from nrt_spark.oracle import generic_digest_spark, generic_digest_sql
+
+    sf = "/root/testdata/sf0.01"
+    if not Path(sf).exists():
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sql = entry.oracle_sql()[qname]
+    sql = sql() if callable(sql) else sql
+    cols = [(r[0], r[1]) for r in
+            con.sql(f"DESCRIBE SELECT * FROM ({sql}) _d").fetchall()]
+    got = generic_digest_spark(
+        entry.queries()[qname](spark, sf)).toPandas()
+    want = con.sql(generic_digest_sql(sql, cols)).df()
+    assert int(got["n_rows"][0]) == int(want["n_rows"][0]) > 0
+    assert got["digest"][0] == want["digest"][0]
+
+
+def test_generic_digest_detects_single_value_change(spark):
+    """Sensitivity: flipping ONE value in one row must change the
+    digest (guards against a canonicalization that collapses values)."""
+    from nrt_spark.oracle import generic_digest_spark
+
+    base = spark.createDataFrame(
+        [(1, 2.5, "a", True), (2, 3.5, "b", False)],
+        "id long, v double, s string, f boolean")
+    d1 = generic_digest_spark(base).collect()[0]
+    bumped = base.withColumn(
+        "v", F.when(F.col("id") == 2, 3.500001).otherwise(F.col("v")))
+    d2 = generic_digest_spark(bumped).collect()[0]
+    assert d1["n_rows"] == d2["n_rows"] == 2
+    assert d1["digest"] != d2["digest"]

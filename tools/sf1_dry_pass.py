@@ -158,6 +158,12 @@ def main() -> int:
                     help="comma-separated query names to run")
     ap.add_argument("--no-oracle", action="store_true",
                     help="spark-only timing pass (no DuckDB compare)")
+    ap.add_argument("--digest", default="",
+                    help="comma-separated query names to certify via "
+                         "the GENERIC in-engine digest (schema-driven, "
+                         "nrt_spark.oracle.generic_digest_*) instead of "
+                         "collecting the full result — for results in "
+                         "the tens of millions of rows at probe scales")
     ap.add_argument("--baseline-sf01", action="store_true",
                     help="also time each spark query at sf0.1 for the "
                          "scaling ratio")
@@ -183,6 +189,7 @@ def main() -> int:
 
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
+    gdigest = {s for s in args.digest.split(",") if s}
     names = [n for n in Q.DRIVER_ORDER if n in Q.queries()]
     oracle = Q.oracle_sql()
     py_oracles = _py_oracles()
@@ -207,13 +214,17 @@ def main() -> int:
             if name in DIGEST_QUERIES:
                 qdf = DIGEST_QUERIES[name][0](qdf)
                 rec["digest_mode"] = True
+            elif name in gdigest:
+                from nrt_spark.oracle import generic_digest_spark
+                qdf = generic_digest_spark(qdf)
+                rec["digest_mode"] = "generic"
             sdf = qdf.toPandas()
             rec["spark_sec"] = round(time.time() - t0, 2)
             # in digest mode keep the TRUE result cardinality (the
             # digest's n_rows), not the 1-row digest frame — it feeds
             # both the scaling read and the empty-result check below
             rec["rows"] = (int(sdf["n_rows"].iloc[0])
-                           if name in DIGEST_QUERIES else len(sdf))
+                           if "digest_mode" in rec else len(sdf))
             if args.baseline_sf01:
                 # restore in a finally: a throw here would leave every
                 # LATER query's data-dependent oracle generator reading
@@ -224,6 +235,9 @@ def main() -> int:
                     q01 = Q.queries()[name](spark, SF01)
                     if name in DIGEST_QUERIES:
                         q01 = DIGEST_QUERIES[name][0](q01)
+                    elif name in gdigest:
+                        from nrt_spark.oracle import generic_digest_spark
+                        q01 = generic_digest_spark(q01)
                     q01.toPandas()
                     rec["spark_sec_sf01"] = round(time.time() - t0, 2)
                 finally:
@@ -241,6 +255,11 @@ def main() -> int:
                 sql = sql() if callable(sql) else sql
                 if name in DIGEST_QUERIES:
                     sql = DIGEST_QUERIES[name][1].format(sql=sql)
+                elif name in gdigest:
+                    from nrt_spark.oracle import generic_digest_sql
+                    cols = [(r[0], r[1]) for r in con.sql(
+                        f"DESCRIBE SELECT * FROM ({sql}) _d").fetchall()]
+                    sql = generic_digest_sql(sql, cols)
                 t0 = time.time()
                 odf = con.sql(sql).df()
                 rec["oracle_sec"] = round(time.time() - t0, 2)
