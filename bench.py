@@ -312,6 +312,11 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
             "passes": len(q_passes),
             "best_pass": best_i + 1,
             "pass_totals": [round(sum(p.values()), 3) for p in q_passes],
+            # best_pass is chosen by THIS list (queries + that pass's
+            # own pipeline wall) — without it the trail could show
+            # best_pass pointing at a pass that isn't the pass_totals
+            # (query-only) minimum
+            "pass_totals_full": [round(t, 3) for t in totals_full],
             "pipeline_points_per_sec_passes":
                 [p["rollup_points_per_sec"] for p in pipes],
         },

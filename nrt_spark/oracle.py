@@ -564,21 +564,40 @@ def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
 # Canonical per-type rendering (both engines):
 #   boolean    -> 0/1
 #   integers   -> decimal string
-#   double/float/decimal -> floor(x * 1e6 + 0.5) as int64 ('NaN' for
-#                 NaN) — the repo's half-up rule at 6 decimals, the
-#                 precision every rounded query column already carries;
-#                 doubles are bit-identical across engines on these
-#                 queries (proved by the full-collect compare at sf1)
+#   double/float/decimal -> BANDED half-up integers: |x| < 9e12 renders
+#                 floor(x * 1e6 + 0.5) (the repo's 6-decimal half-up
+#                 rule — the precision every rounded query column
+#                 already carries); 9e12 <= |x| < 9e24 renders
+#                 'B' || floor(x / 1e6); 9e24 <= |x| < 9e30 renders
+#                 'H' || floor(x / 1e18); beyond that 'XL' (a double's
+#                 ulp at 1e30 is ~1e14, so the coarser bands keep MORE
+#                 precision than the value carries).  The bands keep
+#                 every floor() within int64 — an UNbanded floor(x*1e6)
+#                 overflows at ~9.2e12, where DuckDB raises
+#                 ConversionException while Spark silently clamps to
+#                 Long.Max: certification would abort (or collapse
+#                 values) at exactly the probe scales whose aggregates
+#                 cross 9e12.  'NaN'/'Inf'/'-Inf' render literally.
+#                 Doubles are bit-identical across engines on these
+#                 queries (proved by the full-collect compare at sf1).
 #   date       -> days since 1970-01-01
 #   timestamp  -> microseconds since epoch
-#   string     -> as-is
-#   NULL       -> '∅' (distinct from any rendered value)
+#   string     -> escaped: '\' -> '\\', '|' -> '\|', '∅' -> '\∅' — so
+#                 a value containing the column separator cannot shift
+#                 content across column boundaries and no rendered
+#                 string can collide with the null mark
+#   NULL       -> '∅' (distinct from any rendered value: a literal '∅'
+#                 in data renders as '\∅')
 # Row string = canonical columns joined with '|'; row hash = the first
 # 15 hex digits (60 bits) of md5(row string), an exact BIGINT in both
 # engines; digest = SUM(row hash) in 128-bit (decimal(38,0)/HUGEINT).
 # ---------------------------------------------------------------------------
 
 _NULL_MARK = "∅"
+#: |x| bounds for the double bands; each keeps floor() inside int64
+_D_BAND1 = 9.0e12          # floor(x * 1e6 + 0.5)
+_D_BAND2 = 9.0e24          # 'B' || floor(x / 1e6)
+_D_BAND3 = 9.0e30          # 'H' || floor(x / 1e18)
 
 
 def generic_digest_spark(df):
@@ -595,14 +614,33 @@ def generic_digest_spark(df):
             s = c.cast("int").cast("string")
         elif isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
             d = c.cast("double")
-            s = F.when(F.isnan(d), F.lit("NaN")).otherwise(
-                F.floor(d * 1000000 + F.lit(0.5))
-                .cast("long").cast("string"))
+            a = F.abs(d)
+            s = (F.when(F.isnan(d), F.lit("NaN"))
+                 .when(d == F.lit(float("inf")), F.lit("Inf"))
+                 .when(d == F.lit(float("-inf")), F.lit("-Inf"))
+                 .when(a < _D_BAND1,
+                       F.floor(d * 1000000 + F.lit(0.5))
+                       .cast("long").cast("string"))
+                 .when(a < _D_BAND2,
+                       F.concat(F.lit("B"), F.floor(d / 1.0e6)
+                                .cast("long").cast("string")))
+                 .when(a < _D_BAND3,
+                       F.concat(F.lit("H"), F.floor(d / 1.0e18)
+                                .cast("long").cast("string")))
+                 .otherwise(F.lit("XL")))
         elif isinstance(t, T.DateType):
             s = F.datediff(c, F.lit("1970-01-01")).cast("string")
         elif isinstance(t, T.TimestampType):
             s = F.unix_micros(c).cast("string")
-        else:                      # integers, strings
+        elif isinstance(t, T.StringType):
+            # escape so data can't forge column boundaries or the null
+            # mark: backslash first, then separator, then null mark
+            s = F.replace(
+                F.replace(
+                    F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                    F.lit("|"), F.lit("\\|")),
+                F.lit(_NULL_MARK), F.lit("\\" + _NULL_MARK))
+        else:                      # integers
             s = c.cast("string")
         cols.append(F.coalesce(s, F.lit(_NULL_MARK)))
     row = F.concat_ws("|", *cols)
@@ -620,15 +658,30 @@ def _canon_sql_col(name: str, dtype: str) -> str:
         e = f"CAST(CAST({q} AS INT) AS VARCHAR)"
     elif (d in ("DOUBLE", "FLOAT", "REAL")
           or d.startswith("DECIMAL") or d.startswith("NUMERIC")):
-        e = (f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN' "
-             f"ELSE CAST(CAST(floor(CAST({q} AS DOUBLE) * 1000000 + 0.5) "
-             f"AS BIGINT) AS VARCHAR) END")
+        x = f"CAST({q} AS DOUBLE)"
+        e = (f"CASE WHEN isnan({x}) THEN 'NaN' "
+             f"WHEN {x} = 'inf'::DOUBLE THEN 'Inf' "
+             f"WHEN {x} = '-inf'::DOUBLE THEN '-Inf' "
+             f"WHEN abs({x}) < {_D_BAND1!r} THEN "
+             f"CAST(CAST(floor({x} * 1000000 + 0.5) AS BIGINT) AS VARCHAR) "
+             f"WHEN abs({x}) < {_D_BAND2!r} THEN "
+             f"'B' || CAST(CAST(floor({x} / 1e6) AS BIGINT) AS VARCHAR) "
+             f"WHEN abs({x}) < {_D_BAND3!r} THEN "
+             f"'H' || CAST(CAST(floor({x} / 1e18) AS BIGINT) AS VARCHAR) "
+             f"ELSE 'XL' END")
     elif d == "DATE":
         e = (f"CAST(date_diff('day', DATE '1970-01-01', {q}) "
              f"AS VARCHAR)")
     elif d.startswith("TIMESTAMP"):
         e = f"CAST(epoch_us({q}) AS VARCHAR)"
-    else:                          # integers (any width), strings
+    elif d in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        # same escape order as the Spark side: \, |, null mark.
+        # NOTE duckdb string literals do NOT backslash-escape: '\' is
+        # one backslash, '\\' is two.
+        bs = "\\"
+        e = (f"replace(replace(replace({q}, '{bs}', '{bs}{bs}'), "
+             f"'|', '{bs}|'), '{_NULL_MARK}', '{bs}{_NULL_MARK}')")
+    else:                          # integers (any width)
         e = f"CAST({q} AS VARCHAR)"
     return f"coalesce({e}, '{_NULL_MARK}')"
 
@@ -645,3 +698,13 @@ def generic_digest_sql(sql: str, columns: "list[tuple[str, str]]") -> str:
     return (f"SELECT count(*) AS n_rows, "
             f"CAST(sum(CAST({rhash} AS HUGEINT)) AS VARCHAR) AS digest "
             f"FROM ({sql}) _gd")
+
+
+def generic_digest_sql_for(con, sql: str) -> str:
+    """One-stop DuckDB digest: DESCRIBE the oracle query on ``con`` to
+    get the result schema, then wrap it with
+    :func:`generic_digest_sql`.  The single home for the
+    DESCRIBE->columns glue (harness and tests both use this)."""
+    cols = [(r[0], r[1]) for r in con.sql(
+        f"DESCRIBE SELECT * FROM ({sql}) _d").fetchall()]
+    return generic_digest_sql(sql, cols)

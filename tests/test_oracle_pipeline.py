@@ -153,7 +153,8 @@ def test_generic_digest_cross_engine(spark, qname):
     import duckdb
 
     import __spark_entry__ as entry
-    from nrt_spark.oracle import generic_digest_spark, generic_digest_sql
+    from nrt_spark.oracle import (generic_digest_spark,
+                                  generic_digest_sql_for)
 
     sf = "/root/testdata/sf0.01"
     if not Path(sf).exists():
@@ -164,11 +165,9 @@ def test_generic_digest_cross_engine(spark, qname):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     sql = entry.oracle_sql()[qname]
     sql = sql() if callable(sql) else sql
-    cols = [(r[0], r[1]) for r in
-            con.sql(f"DESCRIBE SELECT * FROM ({sql}) _d").fetchall()]
     got = generic_digest_spark(
         entry.queries()[qname](spark, sf)).toPandas()
-    want = con.sql(generic_digest_sql(sql, cols)).df()
+    want = con.sql(generic_digest_sql_for(con, sql)).df()
     assert int(got["n_rows"][0]) == int(want["n_rows"][0]) > 0
     assert got["digest"][0] == want["digest"][0]
 
@@ -187,3 +186,53 @@ def test_generic_digest_detects_single_value_change(spark):
     d2 = generic_digest_spark(bumped).collect()[0]
     assert d1["n_rows"] == d2["n_rows"] == 2
     assert d1["digest"] != d2["digest"]
+
+
+def test_generic_digest_adversarial_values(spark):
+    """The renderings the round-7 review attacked, pinned cross-engine:
+    doubles beyond the 9e12 band (an unbanded floor(x*1e6) overflows
+    int64 — DuckDB aborts, Spark clamps), +/-Inf and NaN, strings
+    containing the column separator / backslash / the null-mark glyph,
+    and NULL vs the literal null-mark string (must NOT collide)."""
+    import duckdb
+
+    from nrt_spark.oracle import (generic_digest_spark,
+                                  generic_digest_sql_for)
+
+    rows = [
+        (1, 1.0e13, "a|b", "c"),          # band-2 double, separator split L
+        (2, -2.5e26, "a", "b|c"),         # band-3 negative, separator split R
+        (3, float("inf"), "back\\slash", None),   # inf, backslash, NULL
+        (4, float("-inf"), "∅", "x"),     # -inf, literal null-mark string
+        (5, float("nan"), None, "∅"),     # NaN, NULL vs literal mark
+        (6, 3.5e31, "p", "q"),            # beyond band 3 -> 'XL'
+        (7, 123.4567891, "plain", "row"), # band-1 half-up
+    ]
+    sdf = spark.createDataFrame(
+        rows, "id long, v double, s1 string, s2 string")
+    got = generic_digest_spark(sdf).collect()[0]
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (id BIGINT, v DOUBLE, s1 VARCHAR, s2 VARCHAR)")
+    for r in rows:
+        con.execute("INSERT INTO t VALUES (?, ?, ?, ?)", list(r))
+    want = con.sql(generic_digest_sql_for(con, "SELECT * FROM t")).df()
+    assert got["n_rows"] == int(want["n_rows"][0]) == len(rows)
+    assert got["digest"] == want["digest"][0]
+
+    # the two separator splits must NOT collide with each other: rows
+    # ('a|b','c') and ('a','b|c') are distinct multisets
+    one = spark.createDataFrame([(1, 0.0, "a|b", "c")],
+                                "id long, v double, s1 string, s2 string")
+    two = spark.createDataFrame([(1, 0.0, "a", "b|c")],
+                                "id long, v double, s1 string, s2 string")
+    d1 = generic_digest_spark(one).collect()[0]["digest"]
+    d2 = generic_digest_spark(two).collect()[0]["digest"]
+    assert d1 != d2
+    # NULL must not collide with the literal null-mark string
+    n1 = spark.createDataFrame([(1, 0.0, None, "z")],
+                               "id long, v double, s1 string, s2 string")
+    n2 = spark.createDataFrame([(1, 0.0, "∅", "z")],
+                               "id long, v double, s1 string, s2 string")
+    assert (generic_digest_spark(n1).collect()[0]["digest"]
+            != generic_digest_spark(n2).collect()[0]["digest"])

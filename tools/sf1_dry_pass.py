@@ -176,6 +176,7 @@ def main() -> int:
     import duckdb
 
     from nrt_spark import queries as Q
+    from nrt_spark.oracle import generic_digest_spark
     from nrt_spark.session import get_spark
 
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -190,6 +191,14 @@ def main() -> int:
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
     gdigest = {s for s in args.digest.split(",") if s}
+    clash = gdigest & set(_py_oracles())
+    if clash:
+        # a python-twin query's oracle returns a full result frame; the
+        # generic digest would reduce only the Spark side and the
+        # compare would spuriously FAIL on shape
+        ap.error(f"--digest cannot apply to python-twin queries "
+                 f"{sorted(clash)}: their oracle compares the full "
+                 f"result frame (drop them from --digest)")
     names = [n for n in Q.DRIVER_ORDER if n in Q.queries()]
     oracle = Q.oracle_sql()
     py_oracles = _py_oracles()
@@ -215,7 +224,6 @@ def main() -> int:
                 qdf = DIGEST_QUERIES[name][0](qdf)
                 rec["digest_mode"] = True
             elif name in gdigest:
-                from nrt_spark.oracle import generic_digest_spark
                 qdf = generic_digest_spark(qdf)
                 rec["digest_mode"] = "generic"
             sdf = qdf.toPandas()
@@ -236,7 +244,6 @@ def main() -> int:
                     if name in DIGEST_QUERIES:
                         q01 = DIGEST_QUERIES[name][0](q01)
                     elif name in gdigest:
-                        from nrt_spark.oracle import generic_digest_spark
                         q01 = generic_digest_spark(q01)
                     q01.toPandas()
                     rec["spark_sec_sf01"] = round(time.time() - t0, 2)
@@ -256,10 +263,8 @@ def main() -> int:
                 if name in DIGEST_QUERIES:
                     sql = DIGEST_QUERIES[name][1].format(sql=sql)
                 elif name in gdigest:
-                    from nrt_spark.oracle import generic_digest_sql
-                    cols = [(r[0], r[1]) for r in con.sql(
-                        f"DESCRIBE SELECT * FROM ({sql}) _d").fetchall()]
-                    sql = generic_digest_sql(sql, cols)
+                    from nrt_spark.oracle import generic_digest_sql_for
+                    sql = generic_digest_sql_for(con, sql)
                 t0 = time.time()
                 odf = con.sql(sql).df()
                 rec["oracle_sec"] = round(time.time() - t0, 2)
