@@ -129,7 +129,8 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
 
 
 def _dup_groups(docs: DataFrame,
-                max_group: int | None = None) -> DataFrame:
+                max_group: int | None = None,
+                members: bool = True) -> DataFrame:
     """Exact-duplicate groups BY NORMALIZED TEXT VALUE (string equality
     — no hashing, so distinct texts can never merge): one row per
     distinct normalized text with the canonical (min) doc id, the full
@@ -150,7 +151,18 @@ def _dup_groups(docs: DataFrame,
     would silently change the pair output, and a corpus that trips the
     guard should be exact-deduped before pair mining anyway.  Pass
     ``max_group=0`` (or set the env to 0) to disable.
+
+    ``members=False`` skips the member array (and therefore the guard —
+    nothing concentrates) and returns ``(_t, rep, m, msum)`` where
+    ``msum`` is the int64 sum of member ids: everything CLUSTERING
+    needs, with per-group state O(1) instead of O(m).
     """
+    if not members:
+        return (docs.groupBy(normalized_text().alias("_t"))
+                .agg(F.min("doc_id").alias("rep"),
+                     F.count("*").alias("m"),
+                     F.sum("doc_id").alias("msum"))
+                .localCheckpoint(eager=False))
     if max_group is None:
         raw = os.environ.get("NRT_DEDUP_MAX_GROUP")
         try:
@@ -338,15 +350,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
     """
     if collapse_duplicates:
         groups = _dup_groups(docs)
-        reps = groups.select(F.col("rep").alias("doc_id"),
-                             F.col("_t").alias("text"))
-        # non-eager checkpoint: sig feeds the band self-join AND the
-        # intra-pair active-rep gate (same call-scoped pattern as
-        # _dup_groups)
-        sig = minhash_signatures(reps, n=n, num_hashes=num_hashes, spread=False,
-                                 max_df=max_df).localCheckpoint(eager=False)
-        rep_pairs = _band_pairs(sig, num_hashes, band_size)
-        active = sig.select(F.col("doc_id").alias("rep"))
+        _, rep_pairs, active = minhash_lsh_rep_graph(
+            docs, n=n, num_hashes=num_hashes, band_size=band_size,
+            max_df=max_df, groups=groups)
         intra = _intra_group_pairs(
             groups, active,
             F.lit(num_hashes // band_size).cast("long"), "n_bands")
@@ -354,6 +360,41 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 8,
             .unionAll(intra)
     sig = minhash_signatures(docs, n=n, num_hashes=num_hashes, max_df=max_df)
     return _band_pairs(sig, num_hashes, band_size)
+
+
+def minhash_lsh_rep_graph(docs: DataFrame, n: int = 3,
+                          num_hashes: int = 8, band_size: int = 2,
+                          max_df: int | None = None,
+                          groups: DataFrame | None = None):
+    """The collapsed MinHash-LSH graph WITHOUT pair expansion:
+    ``(groups, rep_pairs, active_reps)``.
+
+    This is the scale path for CLUSTERING (round-7 sf100 probe
+    finding): the pair MINER's output contract requires expanding every
+    rep-level pair through the duplicate groups — quadratic in
+    duplication (C(1000,2) per group at 1000x duplication gave a 3.3G-
+    edge list at sf100, and connected components over it ran the
+    symmetrized+distinct edges through every min-label round).  The
+    component structure is already fully determined by the rep-level
+    graph plus group membership, so clustering consumes THIS and never
+    materializes an expanded pair.
+
+    ``groups`` lets the pair miner pass its member-carrying groups; by
+    default the lighter memberless aggregation is used (O(1) per-group
+    state — no member array, no mega-group hazard).
+    """
+    if groups is None:
+        groups = _dup_groups(docs, members=False)
+    reps = groups.select(F.col("rep").alias("doc_id"),
+                         F.col("_t").alias("text"))
+    # non-eager checkpoint: sig feeds the band self-join AND the
+    # active-rep gate (same call-scoped pattern as _dup_groups)
+    sig = minhash_signatures(reps, n=n, num_hashes=num_hashes,
+                             spread=False, max_df=max_df) \
+        .localCheckpoint(eager=False)
+    rep_pairs = _band_pairs(sig, num_hashes, band_size)
+    active = sig.select(F.col("doc_id").alias("rep"))
+    return groups, rep_pairs, active
 
 
 def _band_pairs(sig: DataFrame, num_hashes: int, band_size: int

@@ -521,26 +521,39 @@ def union_find_components(a: "np.ndarray", b: "np.ndarray"):
 
 def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
     """Single-process twin of queries_docs.dedup_clusters for scales
-    where the recursive-CTE closure is quadratic-infeasible (sf>=10):
-    the candidate EDGE LIST still comes from the exact certified
-    MinHash-LSH pair SQL (queries_docs._minhash_sql, DuckDB), and the
-    transitive closure is the numpy union-find above instead of the
-    CTE.  tests/test_oracle_pipeline.py pins this twin label-identical
-    to the CTE oracle at driver scales."""
+    where the recursive-CTE closure is quadratic-infeasible (sf>=10).
+
+    Mirrors the engine's round-7 rep-level structure (the sf100 probe
+    killed the expanded form on BOTH sides: C(m,2) intra pairs per
+    m-copy group made a 3.3G-edge list at 1000x duplication): the edge
+    list is the REPRESENTATIVE-level LSH pair SQL
+    (queries_docs._minhash_rep_pairs_sql — same CTEs as the certified
+    pair miner, no expansion), the closure is the numpy union-find
+    above, and cluster membership comes from the exact-duplicate group
+    info (rep, m, msum, active).  A group joins a cluster iff its rep
+    has an edge, or m >= 2 with an active rep; component of an isolated
+    group is its own rep.  tests/test_oracle_pipeline.py pins this twin
+    label-identical to the recursive-CTE closure of the EXPANDED graph
+    at driver scales — the equivalence proof of the restructure."""
     import duckdb
 
-    from nrt_spark.queries_docs import _minhash_sql
+    from nrt_spark.queries_docs import (_dup_group_info_sql,
+                                        _minhash_rep_pairs_sql)
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
-    pairs = con.sql(
-        f"SELECT doc_a, doc_b FROM ({_minhash_sql()}) p").fetchnumpy()
+    pairs = con.sql(_minhash_rep_pairs_sql()).fetchnumpy()
+    ginfo = con.sql(_dup_group_info_sql()).df()
     nodes, labels = union_find_components(pairs["doc_a"], pairs["doc_b"])
-    df = pd.DataFrame({"cluster_id": labels, "node": nodes})
-    out = (df.groupby("cluster_id", as_index=False)
-           .agg(n_members=("node", "size"),
-                member_checksum=("node", "sum")))
+    comp = pd.DataFrame({"rep": nodes, "component": labels})
+    lab = ginfo.merge(comp, on="rep", how="left")
+    keep = lab["component"].notna() | ((lab["m"] >= 2) & lab["active"])
+    lab = lab[keep].copy()
+    lab["component"] = lab["component"].fillna(lab["rep"]).astype("int64")
+    out = (lab.groupby("component", as_index=False)
+           .agg(n_members=("m", "sum"), member_checksum=("msum", "sum"))
+           .rename(columns={"component": "cluster_id"}))
     out["cluster_id"] = out["cluster_id"].astype("int64")
     out["n_members"] = out["n_members"].astype("int64")
     out["member_checksum"] = out["member_checksum"].astype("int64")

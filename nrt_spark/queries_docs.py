@@ -103,15 +103,17 @@ def dedup_jaccard_pairs(spark, sf_dir):
                            threshold=0.08, max_df=MAX_SHINGLE_DF)
 
 
-def _minhash_sql() -> str:
+def _minhash_rep_ctes() -> str:
+    """Shared CTE chain up to the REPRESENTATIVE-level LSH pair graph
+    ``rp`` — composed by the full (expanded) miner SQL below and by the
+    rep-level clustering twin (oracle.dedup_clusters_oracle)."""
     mins = ",\n    ".join(
         f"min(md5('salt{i}:' || shingle)) AS h{i}" for i in range(8))
     bands = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
         for b in range(4))
-    return f"""
-WITH {_COLLAPSE_SQL},
+    return f"""{_COLLAPSE_SQL},
 sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
@@ -123,7 +125,12 @@ sig AS (
   JOIN bands b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
               AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_rep_ctes()}
 SELECT least(x.doc_id, y.doc_id) AS doc_a,
        greatest(x.doc_id, y.doc_id) AS doc_b, p.n_bands
 FROM rp p JOIN mem x ON x.rep = p.doc_a JOIN mem y ON y.rep = p.doc_b
@@ -131,6 +138,24 @@ UNION ALL
 SELECT a.doc_id, b.doc_id, CAST(4 AS BIGINT)
 FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
 WHERE a.rep IN (SELECT doc_id FROM sig)
+"""
+
+
+def _minhash_rep_pairs_sql() -> str:
+    """Rep-level pairs only (no expansion) — the clustering twin's
+    edge list."""
+    return f"WITH {_minhash_rep_ctes()} SELECT doc_a, doc_b FROM rp"
+
+
+def _dup_group_info_sql() -> str:
+    """Per-duplicate-group info for the clustering twin: rep, copy
+    count, int64 member-id sum, and whether the rep is ACTIVE (has a
+    signature, i.e. >= 1 surviving shingle after the df cap)."""
+    return f"""
+WITH {_minhash_rep_ctes()}
+SELECT rep, count(*) AS m, CAST(sum(doc_id) AS BIGINT) AS msum,
+       rep IN (SELECT doc_id FROM sig) AS active
+FROM mem GROUP BY rep
 """
 
 
@@ -337,18 +362,36 @@ FROM comp GROUP BY cluster_id
 
 @q("dedup_clusters", _dedup_clusters_sql())
 def dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERING: MinHash-LSH candidate pairs -> connected
+    """Near-dup CLUSTERING: MinHash-LSH candidate graph -> connected
     components (iterative min-label propagation, one shuffle per round,
     O(cluster diameter) rounds) -> one row per duplicate cluster with
     the canonical (min) doc id.  This is the step that turns pair
-    mining into an actual dedup decision at 10^12 scale."""
-    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3,
-                                num_hashes=8, band_size=2,
-                                max_df=MAX_SHINGLE_DF)
-    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
-    return (comp.groupBy(F.col("component").alias("cluster_id"))
-            .agg(F.count("*").alias("n_members"),
-                 F.sum("node").alias("member_checksum")))
+    mining into an actual dedup decision at 10^12 scale.
+
+    Round-7 restructure (sf100 probe finding): components run over the
+    REPRESENTATIVE-level graph and cluster membership comes from the
+    exact-duplicate groups — never from expanded pairs.  Expanding
+    first is quadratic in duplication (C(m,2) intra pairs per m-copy
+    group: 3.3G edges at sf100's 1000x duplication, where this form
+    needs only the ~5k-node rep graph).  Semantics are unchanged and
+    pinned vs the recursive-CTE oracle: a group joins a cluster iff its
+    rep has an LSH edge, or it has >= 2 copies and an active (>= 1
+    surviving shingle) rep — exactly the docs the expanded pair graph
+    would connect; cluster_id = min member id because each rep IS its
+    group's min."""
+    groups, rep_pairs, active = D.minhash_lsh_rep_graph(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=8, band_size=2,
+        max_df=MAX_SHINGLE_DF)
+    comp = D.connected_components(rep_pairs, src="doc_a", dst="doc_b")
+    lab = (groups.select("rep", "m", "msum")
+           .join(comp.withColumnRenamed("node", "rep"), "rep", "left")
+           .join(active.withColumn("_act", F.lit(True)), "rep", "left")
+           .filter(F.col("component").isNotNull()
+                   | ((F.col("m") >= 2) & F.col("_act").isNotNull()))
+           .withColumn("component", F.coalesce("component", "rep")))
+    return (lab.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.sum("m").alias("n_members"),
+                 F.sum("msum").alias("member_checksum")))
 
 
 @q("sessionize_events", """
