@@ -60,3 +60,21 @@ _NB = "CAST(NULL AS BIGINT)"
 
 def _null(kind: str):
     return F.lit(None).cast(kind)
+
+
+def json_int_field(col: str | "F.Column", field: str) -> "F.Column":
+    """Extract a TOP-LEVEL integer scalar from a flat JSON object
+    column — the events.props hot path.
+
+    Uses a compiled-once regex instead of a JSON parser: Spark's
+    get_json_object / from_json / variant_get all re-run a full parse
+    per evaluation (and expressions referenced by both a filter and an
+    aggregate are evaluated once EACH), which dominated the sf100 probe
+    at 100M rows — measured on identical data and plan shape:
+    get_json_object 39.3s, from_json 37.8s, variant_get 43.9s,
+    regexp_extract 5.4s (local[8], identical results).  The regex is
+    exact for FLAT objects (every events.props value); for nested JSON
+    it would also match an inner key — use from_json there.
+    """
+    return F.regexp_extract(
+        col, f'"{field}"\\s*:\\s*(-?\\d+)', 1).cast("int")

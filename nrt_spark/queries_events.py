@@ -15,8 +15,8 @@ from nrt_spark.dataops import simsearch as SS  # noqa: F401
 from nrt_spark.dataops import textstats as TS  # noqa: F401
 from nrt_spark.dataops.textstats import LANG_MARKERS  # noqa: F401
 from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
-                                    _cents_col, _null, _t, q, sub,
-                                    REGISTRY, SUB_SQL)
+                                    _cents_col, _null, _t, json_int_field,
+                                    q, sub, REGISTRY, SUB_SQL)
 
 # =========================================================================
 # Time-series on events: rollups, gap-fill, sequential statistics
@@ -85,7 +85,7 @@ def bitmask_filter_events(spark, sf_dir):
     screen ``qa.bitwiseAND(0x1F) == 0``, dontplot_bolivia_stac.py:189) —
     plain Catalyst bitwise AND, pushed as a filter."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int_field("props", "k")
     return (ev.filter(k.bitwiseAND(F.lit(3)) == 0)
             .groupBy("event_type")
             .agg(F.count("*").alias("n_clear"),

@@ -15,8 +15,8 @@ from nrt_spark.dataops import simsearch as SS  # noqa: F401
 from nrt_spark.dataops import textstats as TS  # noqa: F401
 from nrt_spark.dataops.textstats import LANG_MARKERS  # noqa: F401
 from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
-                                    _cents_col, _null, _t, q, sub,
-                                    REGISTRY, SUB_SQL)
+                                    _cents_col, _null, _t, json_int_field,
+                                    q, sub, REGISTRY, SUB_SQL)
 
 # =========================================================================
 # Relational: scans, joins, aggregations, set ops, windows
@@ -234,7 +234,7 @@ FROM events GROUP BY event_type
 """)
 def json_extract_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    return (ev.withColumn("k", json_int_field("props", "k"))
             .groupBy("event_type")
             .agg(F.round(F.avg("k"), 4).alias("avg_k"),
                  F.count("*").alias("n")))
