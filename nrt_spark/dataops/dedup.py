@@ -153,9 +153,11 @@ def _dup_groups(docs: DataFrame,
     ``max_group=0`` (or set the env to 0) to disable.
 
     ``members=False`` skips the member array (and therefore the guard —
-    nothing concentrates) and returns ``(_t, rep, m, msum)`` where
-    ``msum`` is the int64 sum of member ids: everything CLUSTERING
-    needs, with per-group state O(1) instead of O(m).
+    nothing concentrates): per-group state O(1) instead of O(m).
+    Both shapes carry ``(_t, rep, m, msum)`` — ``msum`` is the int64
+    sum of member ids, what clustering aggregates — so consumers of
+    :func:`minhash_lsh_rep_graph` see one schema either way; only
+    ``members`` is shape-dependent.
     """
     if not members:
         return (docs.groupBy(normalized_text().alias("_t"))
@@ -178,10 +180,14 @@ def _dup_groups(docs: DataFrame,
                 "NRT_DEDUP_MAX_GROUP=%r is not an integer; falling "
                 "back to the default 1000000", raw)
             max_group = 1_000_000
+    # msum in BOTH shapes so minhash_lsh_rep_graph's `groups` return is
+    # schema-stable for clustering consumers regardless of which path
+    # built it (members is the only optional column)
     g = (docs.groupBy(normalized_text().alias("_t"))
          .agg(F.min("doc_id").alias("rep"),
               F.collect_list("doc_id").alias("members"),
-              F.count("*").alias("m")))
+              F.count("*").alias("m"),
+              F.sum("doc_id").alias("msum")))
     if max_group:
         # fold the guard into the consumed `m` column so Catalyst can't
         # prune it away; assert_true returns NULL when the predicate

@@ -526,9 +526,9 @@ def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
     Mirrors the engine's round-7 rep-level structure (the sf100 probe
     killed the expanded form on BOTH sides: C(m,2) intra pairs per
     m-copy group made a 3.3G-edge list at 1000x duplication): the edge
-    list is the REPRESENTATIVE-level LSH pair SQL
-    (queries_docs._minhash_rep_pairs_sql — same CTEs as the certified
-    pair miner, no expansion), the closure is the numpy union-find
+    list is the REPRESENTATIVE-level LSH pair graph (the certified
+    pair miner's own CTEs over a once-materialized signature table, no
+    expansion), the closure is the numpy union-find
     above, and cluster membership comes from the exact-duplicate group
     info (rep, m, msum, active).  A group joins a cluster iff its rep
     has an edge, or m >= 2 with an active rep; component of an isolated
@@ -537,14 +537,20 @@ def dedup_clusters_oracle(sf_dir: str) -> pd.DataFrame:
     at driver scales — the equivalence proof of the restructure."""
     import duckdb
 
-    from nrt_spark.queries_docs import (_dup_group_info_sql,
-                                        _minhash_rep_pairs_sql)
+    from nrt_spark.queries_docs import (_bands_rp_ctes,
+                                        _dup_group_info_sql, _sig_ctes)
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
-    pairs = con.sql(_minhash_rep_pairs_sql()).fetchnumpy()
-    ginfo = con.sql(_dup_group_info_sql()).df()
+    # materialize the signatures once (tiny: one row per DISTINCT
+    # text): the collapse->shingle->sign chain dominates the oracle
+    # cost at probe scales, and both downstream queries read it
+    con.sql(f"CREATE OR REPLACE TEMP TABLE t_sig AS "
+            f"WITH {_sig_ctes()} SELECT * FROM sig")
+    pairs = con.sql(f"WITH {_bands_rp_ctes('t_sig')} "
+                    f"SELECT doc_a, doc_b FROM rp").fetchnumpy()
+    ginfo = con.sql(_dup_group_info_sql("t_sig")).df()
     nodes, labels = union_find_components(pairs["doc_a"], pairs["doc_b"])
     comp = pd.DataFrame({"rep": nodes, "component": labels})
     lab = ginfo.merge(comp, on="rep", how="left")

@@ -63,8 +63,8 @@ def _null(kind: str):
 
 
 def json_int_field(col: str | "F.Column", field: str) -> "F.Column":
-    """Extract a TOP-LEVEL integer scalar from a flat JSON object
-    column — the events.props hot path.
+    """Extract a TOP-LEVEL integer scalar from a machine-generated flat
+    JSON object column — the events.props hot path.
 
     Uses a compiled-once regex instead of a JSON parser: Spark's
     get_json_object / from_json / variant_get all re-run a full parse
@@ -72,9 +72,24 @@ def json_int_field(col: str | "F.Column", field: str) -> "F.Column":
     aggregate are evaluated once EACH), which dominated the sf100 probe
     at 100M rows — measured on identical data and plan shape:
     get_json_object 39.3s, from_json 37.8s, variant_get 43.9s,
-    regexp_extract 5.4s (local[8], identical results).  The regex is
-    exact for FLAT objects (every events.props value); for nested JSON
-    it would also match an inner key — use from_json there.
+    regexp_extract 5.4s (local[8], identical results).
+
+    CONTRACT (narrower than JSON): the column holds flat objects whose
+    ``field`` value is an unquoted integer and whose STRING values
+    never embed a ``"<field>": <int>`` pattern (regexp_extract takes
+    the FIRST match; the ``[{,]`` prefix guard rejects matches not at
+    a member boundary, but a string value containing a comma followed
+    by the pattern would still win).  events.props is machine-generated
+    ``{"k": <int>}`` so the contract holds by construction — and every
+    DuckDB oracle keeps REAL JSON extraction, so a certified run
+    surfaces any divergence as a value mismatch.  For nested JSON,
+    quoted numbers, or adversarial strings, use ``from_json``.
     """
+    import re
+
+    # try_cast: regexp_extract yields '' on no match, which an ANSI
+    # cast rejects — NULL here mirrors get_json_object's missing-key
+    # behavior
     return F.regexp_extract(
-        col, f'"{field}"\\s*:\\s*(-?\\d+)', 1).cast("int")
+        col, f'[{{,]\\s*"{re.escape(field)}"\\s*:\\s*(-?\\d+)', 1) \
+        .try_cast("int")

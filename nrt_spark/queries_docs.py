@@ -46,7 +46,10 @@ MAX_SHINGLE_DF = 50
 #: dedup.jaccard_pairs for the scale rationale): grp = one rep per
 #: normalized text, mem = doc -> rep, sh = the reps' df-capped
 #: shingles.
-_COLLAPSE_SQL = f"""
+#: split so consumers can embed exactly what they read: the doc->rep
+#: membership chain alone (group info), or with the shingle chain
+#: (everything that signs/mines)
+_MEM_CTES = """
 dd AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
   FROM documents
@@ -54,7 +57,9 @@ dd AS (
   SELECT t, min(doc_id) AS rep FROM dd GROUP BY t
 ), mem AS (
   SELECT dd.doc_id, grp.rep FROM dd JOIN grp USING (t)
-), sh0 AS (
+)"""
+
+_COLLAPSE_SQL = f"""{_MEM_CTES}, sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT rep AS doc_id,
            unnest(list_transform(
@@ -103,21 +108,27 @@ def dedup_jaccard_pairs(spark, sf_dir):
                            threshold=0.08, max_df=MAX_SHINGLE_DF)
 
 
-def _minhash_rep_ctes() -> str:
-    """Shared CTE chain up to the REPRESENTATIVE-level LSH pair graph
-    ``rp`` — composed by the full (expanded) miner SQL below and by the
-    rep-level clustering twin (oracle.dedup_clusters_oracle)."""
+def _sig_ctes() -> str:
+    """CTE chain up to the per-representative MinHash signature
+    ``sig`` (collapse + shingles + signing)."""
     mins = ",\n    ".join(
         f"min(md5('salt{i}:' || shingle)) AS h{i}" for i in range(8))
-    bands = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM sig"
-        for b in range(4))
     return f"""{_COLLAPSE_SQL},
 sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
-), bands AS (
+)"""
+
+
+def _bands_rp_ctes(sig_rel: str = "sig") -> str:
+    """Banding + rep-pair self-join CTEs over an existing signature
+    relation — ``sig_rel`` lets the clustering twin point these at a
+    materialized temp table so the signing chain runs once."""
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS bucket FROM {sig_rel}"
+        for b in range(4))
+    return f"""bands AS (
   {bands}
 ), rp AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
@@ -126,6 +137,13 @@ sig AS (
               AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
+
+
+def _minhash_rep_ctes() -> str:
+    """Shared CTE chain up to the REPRESENTATIVE-level LSH pair graph
+    ``rp`` — composed by the full (expanded) miner SQL below and by the
+    rep-level clustering twin (oracle.dedup_clusters_oracle)."""
+    return f"{_sig_ctes()}, {_bands_rp_ctes()}"
 
 
 def _minhash_sql() -> str:
@@ -141,20 +159,17 @@ WHERE a.rep IN (SELECT doc_id FROM sig)
 """
 
 
-def _minhash_rep_pairs_sql() -> str:
-    """Rep-level pairs only (no expansion) — the clustering twin's
-    edge list."""
-    return f"WITH {_minhash_rep_ctes()} SELECT doc_a, doc_b FROM rp"
-
-
-def _dup_group_info_sql() -> str:
+def _dup_group_info_sql(sig_rel: str = "sig") -> str:
     """Per-duplicate-group info for the clustering twin: rep, copy
     count, int64 member-id sum, and whether the rep is ACTIVE (has a
-    signature, i.e. >= 1 surviving shingle after the df cap)."""
+    signature, i.e. >= 1 surviving shingle after the df cap).  Embeds
+    only the CTEs it reads; pass a materialized signature relation via
+    ``sig_rel`` to skip re-signing."""
+    ctes = _sig_ctes() if sig_rel == "sig" else _MEM_CTES
     return f"""
-WITH {_minhash_rep_ctes()}
+WITH {ctes}
 SELECT rep, count(*) AS m, CAST(sum(doc_id) AS BIGINT) AS msum,
-       rep IN (SELECT doc_id FROM sig) AS active
+       rep IN (SELECT doc_id FROM {sig_rel}) AS active
 FROM mem GROUP BY rep
 """
 
