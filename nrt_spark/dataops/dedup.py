@@ -28,9 +28,16 @@ def normalized_text(col="text"):
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Group identical (normalized) texts; keep the smallest doc_id as
-    canonical.  Output: (digest, n_dupes, keep_doc_id)."""
+    canonical.  Output: (digest, n_dupes, keep_doc_id).
+
+    Adaptive spread before the normalize+md5 map side: compressed text
+    packs ~100x, so a whole duplicated corpus can land in ONE scan
+    split and the per-row regex chain runs serial (sf100 probe: 82.7 s
+    on one task; structural no-op on a well-split cluster scan — see
+    spread_if_underpartitioned)."""
     return (
-        docs.select("doc_id", F.md5(normalized_text()).alias("digest"))
+        spread_if_underpartitioned(docs)
+        .select("doc_id", F.md5(normalized_text()).alias("digest"))
         .groupBy("digest")
         .agg(F.count("*").alias("n_dupes"),
              F.min("doc_id").alias("keep_doc_id"))
@@ -54,6 +61,108 @@ def spread_if_underpartitioned(docs: DataFrame,
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         return docs.repartition(sc.defaultParallelism, key)
     return docs
+
+
+def spread_for_explode(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Pinned-count spread BEFORE an explode/shingle expansion.
+
+    The count must be explicit (REPARTITION_BY_NUM): a bare
+    ``repartition(key)`` is coalescable, and AQE sizes the read by the
+    exchange's COMPRESSED pre-explode bytes — systematically wrong when
+    the downstream explode inflates the rows ~100x (and duplicated
+    crawl text compresses ~100x on top).  Measured at the sf100 probe:
+    the moment initialPartitionNum made this exchange eligible for
+    coalescing, AQE folded the 4-gram explode feeding decontaminate's
+    semi-join onto a handful of tasks — 194 s -> 329 s on identical
+    data.  Pinning max(shuffle.partitions, scan splits) keeps the
+    cluster case intact (a well-split scan's parallelism is never
+    reduced) while the under-split compressed corpus gets the full
+    shuffle width.
+    """
+    spark = docs.sparkSession
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+            docs.rdd.getNumPartitions())
+    return docs.repartition(n, key)
+
+
+#: collapse-first threshold for the duplicate-adaptive per-doc text
+#: operators: sampled distinct-text ratio below this -> compute once
+#: per DISTINCT text and expand back, else keep the map-only plan
+COLLAPSE_RATIO = 0.7
+
+
+def duplicate_ratio_estimate(docs: DataFrame, sample_rows: int = 50_000,
+                             seed: int = 7) -> float:
+    """Estimated DISTINCT-normalized-text fraction of ``docs`` in
+    (0, 1]: one cheap sampled pass (md5 over ~``sample_rows`` Bernoulli-
+    sampled rows).  The sample fraction is sized from parquet footer
+    metadata when the plan is a bare scan (no Spark job —
+    simsearch._source_row_estimate) and falls back to a fixed 2% for
+    filtered/derived inputs.  A sample under 2000 rows returns 1.0
+    ("assume unique"): too small to trust, and small corpora are where
+    collapsing can't win anyway.  approx_count_distinct's ~2% HLL error
+    is irrelevant at the 0.7 decision threshold.
+
+    Detection regime (fundamental to ANY uniform sample, not the HLL):
+    two copies of a text only lower the sampled ratio when BOTH land in
+    the sample, so duplication with per-text multiplicity m is visible
+    only when m * fraction >= ~1 (m >= ~N/sample_rows).  That is
+    exactly the regime where collapse-first pays off by an order of
+    magnitude; low-multiplicity duplication (m of 2-5 at crawl scale)
+    samples as "unique" and keeps the map-only plan — correct output,
+    modest missed savings, and no full-corpus pre-pass wasted on clean
+    corpora.
+
+    The probe decides PLAN SHAPE only — a collapsed and an uncollapsed
+    run produce identical results (pinned by the multiplicity-
+    invariance tests), so sampling variance across file layouts can
+    never change a query answer, only its wall time.
+    """
+    from nrt_spark.dataops.simsearch import _source_row_estimate
+
+    est = _source_row_estimate(docs)
+    frac = 0.02 if est is None else min(1.0, sample_rows / max(est[0], 1))
+    row = (docs.sample(False, frac, seed=seed)
+           .agg(F.approx_count_distinct(
+                    F.md5(normalized_text())).alias("d"),
+                F.count("*").alias("n"))
+           .collect()[0])
+    if row["n"] < 2000:
+        return 1.0
+    return min(1.0, row["d"] / row["n"])
+
+
+def collapse_per_doc(docs: DataFrame, compute,
+                     collapse: "bool | str" = "auto") -> DataFrame:
+    """Duplicate-adaptive wrapper for a PER-DOC operator that is a pure
+    function of the normalized text.  ``compute`` maps a
+    (doc_id, text, ...) frame to one row per doc_id with metric
+    columns; when the sampled gate (duplicate_ratio_estimate) says the
+    corpus is duplicate-heavy, it runs once per DISTINCT text — on the
+    representative relation from _dup_groups (string equality, never a
+    hash merge) — and the metrics expand back to every doc_id through
+    a text-equality join.  On a clean corpus ``compute(docs)`` runs
+    unchanged (the collapse would ADD a full-corpus text shuffle plus
+    the join-back that the map-only plan never needs).
+
+    Output: (doc_id, <compute's metric columns in order>) — identical
+    rows on either branch (pinned by the multiplicity tests).
+    """
+    if collapse == "auto":
+        collapse = duplicate_ratio_estimate(docs) < COLLAPSE_RATIO
+    if not collapse:
+        return compute(docs)
+    groups = _dup_groups(docs, members=False)
+    reps = groups.select(F.col("rep").alias("doc_id"),
+                         F.col("_t").alias("text"))
+    vals = compute(reps)
+    metric_cols = [c for c in vals.columns if c != "doc_id"]
+    per_text = (groups.select("rep", "_t")
+                .join(vals.withColumnRenamed("doc_id", "rep"), "rep")
+                .select("_t", *metric_cols))
+    return (docs.select("doc_id", normalized_text().alias("_t"))
+            .join(per_text, "_t")
+            .select("doc_id", *metric_cols))
 
 
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
@@ -103,7 +212,7 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     job, but not a building block for long-lived cached state.
     """
     if spread:
-        docs = docs.repartition("doc_id")
+        docs = spread_for_explode(docs)
     words = docs.select(
         "doc_id", F.split(normalized_text(), " ").alias("w"))
     # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
@@ -426,7 +535,8 @@ def _band_pairs(sig: DataFrame, num_hashes: int, band_size: int
 
 
 def contamination_flags(train: DataFrame, eval_docs: DataFrame,
-                    n: int = 4) -> DataFrame:
+                        n: int = 4,
+                        collapse: "bool | str" = "auto") -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any n-gram
     with an evaluation set.
 
@@ -438,9 +548,38 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
     and none is offered, because dropping a high-df shingle here would
     silently unflag exactly the docs the operator exists to catch.
     Output: (doc_id,) of contaminated training docs.
+
+    Duplicate-adaptive (``collapse``): contamination is a pure function
+    of the normalized text, so on a duplicate-heavy corpus the shingle
+    explode runs once per DISTINCT text (_dup_groups — string equality,
+    never a hash merge) and flags expand back through a text-equality
+    semi-join.  Measured at the sf100 probe (1000x duplication): ~195 s
+    uncollapsed vs ~12 s collapsed, identical output.  On a CLEAN
+    corpus the collapse would ADD a full-corpus text shuffle that the
+    map-side explode + broadcast semi-join never needs, so the default
+    ``"auto"`` collapses only when the sampled distinct-text ratio
+    (duplicate_ratio_estimate) drops below COLLAPSE_RATIO; pass
+    True/False to force a branch (the multiplicity-invariance test pins
+    both branches equal).
     """
-    tr_sh = word_shingles(train, n=n)
     ev_sh = word_shingles(eval_docs, n=n).select("shingle").distinct()
+    if collapse == "auto":
+        collapse = duplicate_ratio_estimate(train) < COLLAPSE_RATIO
+    if collapse:
+        groups = _dup_groups(train, members=False)
+        reps = groups.select(F.col("rep").alias("doc_id"),
+                             F.col("_t").alias("text"))
+        # reps came out of a group-by: already shuffle-partitioned and
+        # tiny (one row per distinct text) — spread=False per the
+        # word_shingles contract
+        flagged = (word_shingles(reps, n=n, spread=False)
+                   .join(ev_sh, "shingle", "left_semi")
+                   .select(F.col("doc_id").alias("rep")).distinct())
+        bad_t = groups.join(flagged, "rep", "left_semi").select("_t")
+        return (train.select("doc_id", normalized_text().alias("_t"))
+                .join(bad_t, "_t", "left_semi")
+                .select("doc_id"))
+    tr_sh = word_shingles(train, n=n)
     return (tr_sh.join(ev_sh, "shingle", "left_semi")
             .select("doc_id").distinct())
 
@@ -520,14 +659,23 @@ def connected_components(edges: DataFrame, src: str = "src",
         f"(component diameter > ~2^{max_iter}); raise max_iter")
 
 
-def simhash16(docs: DataFrame) -> DataFrame:
+def simhash16(docs: DataFrame,
+              collapse: "bool | str" = "auto") -> DataFrame:
     """16-bit SimHash per doc from word unigrams.
 
     Bit j of the fingerprint is the sign of sum over words of
     (2*b_j(word) - 1) where b_j(word) is bit (j mod 4) of hex digit j of
     md5(word) — engine-portable bit extraction via substring + conv.
     Output: (doc_id, simhash int).
+
+    Duplicate-adaptive via :func:`collapse_per_doc`: the fingerprint is
+    a pure function of the normalized text, so a duplicate-heavy corpus
+    computes one fingerprint per DISTINCT text and expands.
     """
+    return collapse_per_doc(docs, _simhash16_impl, collapse=collapse)
+
+
+def _simhash16_impl(docs: DataFrame) -> DataFrame:
     # Spread BEFORE the explode: compressed text packs ~100x, so a
     # bytes-sized scan split (maxPartitionBytes) of a text table can
     # hold the whole corpus in 1-2 tasks and the 10^2x word explosion
@@ -536,7 +684,9 @@ def simhash16(docs: DataFrame) -> DataFrame:
     # Hashing on doc_id lets the final per-doc aggregate REUSE this
     # partitioning, so the plan still has exactly one Exchange — of
     # the small pre-explode rows instead of the post-agg sums.
-    words = docs.repartition("doc_id").select(
+    # Pinned count (spread_for_explode): AQE must not size this read
+    # by the pre-explode compressed bytes.
+    words = spread_for_explode(docs).select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word"))
     # Two 8-hex-char conv()s instead of sixteen 1-char ones: the first
     # 16 hex digits land in two bigints and every bit extraction

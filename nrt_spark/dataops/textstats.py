@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nrt_spark.dataops.dedup import (normalized_text,
+from nrt_spark.dataops.dedup import (normalized_text, spread_for_explode,
                                      spread_if_underpartitioned)
 
 #: tiny per-language stopword marker lists for the language-ID heuristic
@@ -30,15 +30,21 @@ def count_token(col, word: str):
     return F.size(F.split(padded, f" {word} ", -1)) - F.lit(1)
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
+def token_counts(docs: DataFrame,
+                 cols: tuple = ("doc_id",)) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (ceil of
     chars/4 per word, the common ~4-chars-per-token heuristic).
-    Output: (doc_id, n_words, n_subwords)."""
+    Output: (*cols, n_words, n_subwords) — ``cols`` are passed through
+    (default the doc id; the duplicate-collapse path passes the
+    grouping keys + multiplicity instead)."""
     # narrow per-row HOF chain: guard against under-split text scans
-    docs = spread_if_underpartitioned(docs)
+    # (skip for collapsed inputs — they come out of a group-by, already
+    # shuffle-partitioned and tiny)
+    if "doc_id" in cols:
+        docs = spread_if_underpartitioned(docs)
     words = F.split(normalized_text(), " ")
     return docs.select(
-        "doc_id",
+        *cols,
         F.size(F.filter(words, lambda w: F.length(w) > 0)).alias("n_words"),
         F.aggregate(words, F.lit(0),
                     lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
@@ -122,7 +128,8 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def bigram_freq_stats(docs: DataFrame) -> DataFrame:
+def bigram_freq_stats(docs: DataFrame,
+                      weights: DataFrame | None = None) -> DataFrame:
     """Per-doc corpus-bigram-frequency stats — the cheap LM-frequency
     quality signal real pipelines use before any model-based filter:
     documents whose word bigrams are rare across the corpus skew
@@ -135,13 +142,20 @@ def bigram_freq_stats(docs: DataFrame) -> DataFrame:
     back on the same key + one per-doc agg — the count table is the
     (heavy-hitter-compressible) model artifact.
     Output: (doc_id, n_bigrams, freq_sum).
+
+    ``weights`` (optional (doc_id, m)) is the duplicate-collapse hook:
+    when ``docs`` is a representative-per-distinct-text relation,
+    corpus counts weight each representative's occurrences by its
+    multiplicity — counts over reps x m == counts over all docs, so
+    the expanded per-doc stats are identical to the uncollapsed run's.
     """
     # spread BEFORE the explode — same rationale and measured numbers
     # as dedup.word_shingles(spread=True): a compressed text table's
     # byte-sized scan splits under-parallelize the explosion, and the
     # exchanged pre-explode bytes are a small fraction of the exploded
-    # stream the bigram group-by shuffles anyway
-    words = docs.repartition("doc_id").select(
+    # stream the bigram group-by shuffles anyway; pinned count so AQE
+    # can't coalesce the read by those (compressed) pre-explode bytes
+    words = spread_for_explode(docs).select(
         "doc_id",
         F.filter(F.split(normalized_text(), " "),
                  lambda w: F.length(w) > 0).alias("w"))
@@ -152,7 +166,11 @@ def bigram_freq_stats(docs: DataFrame) -> DataFrame:
             "transform(sequence(0, size(w) - 2), "
             "i -> concat(w[i], ' ', w[i + 1])) "
             "ELSE array() END")).alias("bg"))
-    counts = bi.groupBy("bg").agg(F.count("*").alias("c"))
+    if weights is None:
+        counts = bi.groupBy("bg").agg(F.count("*").alias("c"))
+    else:
+        counts = (bi.join(weights, "doc_id")
+                  .groupBy("bg").agg(F.sum("m").alias("c")))
     return (bi.join(counts, "bg")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),

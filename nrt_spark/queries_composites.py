@@ -389,10 +389,38 @@ FROM (
 def doc_lang_quality(spark, sf_dir):
     """Language-ID (per-doc prediction) + quality-score histogram +
     corpus-bigram-frequency stats (the cheap LM-frequency filter
-    signal; integer-exact so the oracle digest is exact)."""
-    l = langid_docs(spark, sf_dir)
-    h = quality_histogram(spark, sf_dir)
-    bf = TS.bigram_freq_stats(_t(spark, sf_dir, "documents"))
+    signal; integer-exact so the oracle digest is exact).
+
+    Duplicate-adaptive: ONE sampled gate probe for the whole composite
+    (every part is a pure function of the normalized text).  Collapsed,
+    all three compute per DISTINCT text from a single _dup_groups
+    relation — langid and the bigram stats expand back per doc through
+    text equality, the quality histogram weights by multiplicity —
+    identical output either way (pinned by the multiplicity test)."""
+    docs = _t(spark, sf_dir, "documents")
+    if D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO:
+        groups = D._dup_groups(docs, members=False)
+        reps = groups.select(F.col("rep").alias("doc_id"),
+                             F.col("_t").alias("text"))
+        docs_t = docs.select("doc_id", D.normalized_text().alias("_t"))
+
+        def expand(vals):
+            cols = [c for c in vals.columns if c != "doc_id"]
+            per_t = (groups.select("rep", "_t")
+                     .join(vals.withColumnRenamed("doc_id", "rep"), "rep")
+                     .select("_t", *cols))
+            return docs_t.join(per_t, "_t").select("doc_id", *cols)
+
+        l = expand(TS.language_id(reps))
+        h = (TS.quality_scores(reps).withColumnRenamed("doc_id", "rep")
+             .join(groups.select("rep", "m"), "rep")
+             .groupBy("quality").agg(F.sum("m").alias("n_docs")))
+        bf = expand(TS.bigram_freq_stats(
+            reps, weights=groups.select(F.col("rep").alias("doc_id"), "m")))
+    else:
+        l = langid_docs(spark, sf_dir)
+        h = quality_histogram(spark, sf_dir)
+        bf = TS.bigram_freq_stats(docs)
     return (
         l.select(F.lit("langid").alias("part"),
                  F.col("doc_id").cast("string").alias("k1"),
@@ -421,9 +449,12 @@ FROM ({SUB_SQL['bpe_token_counts']}) b
 """)
 def token_count_suite(spark, sf_dir):
     """Whitespace + subword token counting and the GPT-2-style BPE
-    pre-tokenizer regex, per source."""
-    w = token_counts_by_source(spark, sf_dir)
-    b = bpe_token_counts(spark, sf_dir)
+    pre-tokenizer regex, per source.  ONE gate probe for both parts
+    (see dedup.duplicate_ratio_estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    collapse = D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO
+    w = token_counts_by_source(spark, sf_dir, collapse=collapse)
+    b = bpe_token_counts(spark, sf_dir, collapse=collapse)
     return (
         w.select(F.lit("whitespace").alias("part"), "source",
                  F.col("total_words").alias("v1"),

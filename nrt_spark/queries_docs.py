@@ -284,8 +284,25 @@ SELECT source,
        count(*) AS n_docs
 FROM norm GROUP BY source
 """)
-def token_counts_by_source(spark, sf_dir):
+def token_counts_by_source(spark, sf_dir, collapse="auto"):
+    """Per-source whitespace/subword totals.  Duplicate-adaptive: the
+    counts are pure functions of the normalized text and the output is
+    a per-source AGGREGATE, so the collapsed branch computes once per
+    DISTINCT (text, source) and weights by multiplicity — no join-back
+    (the weight IS the expansion)."""
     docs = _t(spark, sf_dir, "documents")
+    if collapse == "auto":
+        collapse = D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO
+    if collapse:
+        g = (docs.groupBy(D.normalized_text().alias("text"), "source")
+             .agg(F.count("*").alias("m")))
+        tc = TS.token_counts(g, cols=("source", "m"))
+        return (tc.groupBy("source")
+                .agg(F.sum(F.col("m") * F.col("n_words"))
+                     .alias("total_words"),
+                     F.sum(F.col("m") * F.col("n_subwords"))
+                     .alias("total_subwords"),
+                     F.sum("m").alias("n_docs")))
     tc = TS.token_counts(docs).join(docs.select("doc_id", "source"), "doc_id")
     return (tc.groupBy("source")
             .agg(F.sum("n_words").alias("total_words"),
@@ -585,25 +602,41 @@ def repetition_stats(spark, sf_dir):
     corpus is low-repetition — 2% keeps the flag non-degenerate at
     every test sf while the checksum column verifies every fraction).  The fraction
     is a ratio of small ints — identical doubles in any engine — summed
-    via floor-scaling (no rounding tie rule).  One scan, one shuffle."""
-    # narrow per-row gram chain: adaptive spread (no-op on well-split
-    # cluster scans; see dedup.spread_if_underpartitioned)
-    docs = D.spread_if_underpartitioned(_t(spark, sf_dir, "documents"))
-    w = F.split(D.normalized_text(), " ")
+    via floor-scaling (no rounding tie rule).  One scan, one shuffle.
+
+    Duplicate-adaptive: the dup fraction is a pure function of the
+    normalized text and the output is a per-source AGGREGATE, so on a
+    duplicate-heavy corpus (sampled distinct ratio below
+    dedup.COLLAPSE_RATIO) the gram chain runs once per DISTINCT
+    (text, source) with a multiplicity weight — no join-back needed,
+    the weight IS the expansion.  Identical output either way (ratios
+    are computed per distinct text in both branches; the weighted sums
+    are exact integers)."""
+    docs = _t(spark, sf_dir, "documents")
+    if D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO:
+        base_in = (docs.groupBy(D.normalized_text().alias("_nt"), "source")
+                   .agg(F.count("*").alias("m"))
+                   .select("source", "m", F.split("_nt", " ").alias("w")))
+    else:
+        # narrow per-row gram chain: adaptive spread (no-op on
+        # well-split cluster scans; see dedup.spread_if_underpartitioned)
+        base_in = (D.spread_if_underpartitioned(docs)
+                   .select("source", F.lit(1).cast("long").alias("m"),
+                           F.split(D.normalized_text(), " ").alias("w")))
     grams = F.expr(
         "transform(sequence(0, size(w) - 3), "
         "i -> concat_ws(' ', slice(w, i + 1, 3)))")
-    base = (docs.select("doc_id", "source", w.alias("w"))
-            .filter(F.size("w") >= 3)
-            .select("doc_id", "source",
+    base = (base_in.filter(F.size("w") >= 3)
+            .select("source", "m",
                     (F.size("w") - 2).alias("total"),
                     F.size(F.array_distinct(grams)).alias("n_distinct")))
     dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("total")
     return (base.groupBy("source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.when(dup_frac > 0.02, 1).otherwise(0))
+            .agg(F.sum("m").alias("n_docs"),
+                 F.sum(F.when(dup_frac > 0.02, F.col("m")).otherwise(0))
                  .alias("n_repetitive"),
-                 F.sum(F.floor(dup_frac * 1e6)).alias("dup_frac_e6_sum")))
+                 F.sum(F.col("m") * F.floor(dup_frac * 1e6))
+                 .alias("dup_frac_e6_sum")))
 
 
 def _embedding_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 16,

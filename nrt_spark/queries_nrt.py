@@ -41,18 +41,27 @@ FROM words WHERE len(w) > 0 GROUP BY doc_id
 def tokenize_docs(spark, sf_dir):
     """Deterministic tokenizer: word -> id via md5-derived hash mod vocab
     (identical ids in any engine).  Output: per-doc token count +
-    checksum of the id stream."""
+    checksum of the id stream.  Duplicate-adaptive via
+    dedup.collapse_per_doc (token stream is a pure function of the
+    normalized text)."""
     docs = _t(spark, sf_dir, "documents")
-    # spread-before-explode (see dedup.word_shingles): the per-doc agg
-    # reuses this partitioning, so the Exchange count is unchanged
-    words = docs.repartition("doc_id").select(
-        "doc_id",
-        F.explode(F.split(D.normalized_text(), " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    tok_id = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 50000
-    return (words.groupBy("doc_id")
-            .agg(F.count("*").alias("n_tok"),
-                 F.sum(tok_id).alias("tok_checksum")))
+
+    def compute(d):
+        # spread-before-explode (see dedup.spread_for_explode): the
+        # per-doc agg reuses this partitioning, so the Exchange count
+        # is unchanged; the count is pinned so AQE can't size the read
+        # by pre-explode bytes
+        words = D.spread_for_explode(d).select(
+            "doc_id",
+            F.explode(F.split(D.normalized_text(), " ")).alias("w")
+        ).filter(F.length("w") > 0)
+        tok_id = (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+                  .cast("long") % 50000)
+        return (words.groupBy("doc_id")
+                .agg(F.count("*").alias("n_tok"),
+                     F.sum(tok_id).alias("tok_checksum")))
+
+    return D.collapse_per_doc(docs, compute)
 
 
 @sub("bpe_token_counts", r"""
@@ -63,12 +72,27 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """)
-def bpe_token_counts(spark, sf_dir):
+def bpe_token_counts(spark, sf_dir, collapse="auto"):
     """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
     (contractions | words | numbers | punctuation runs | whitespace),
-    identical match semantics in Java regex and RE2."""
+    identical match semantics in Java regex and RE2.
+
+    Duplicate-adaptive: the count is a pure function of the RAW text
+    (whitespace runs are BPE tokens, so the collapse groups by the raw
+    string, not the normalized form the other text operators key on)
+    and the output is a per-source aggregate — collapsed, the regex
+    runs once per DISTINCT (text, source), weighted by multiplicity."""
     pat = r"'[a-z]+| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
     docs = _t(spark, sf_dir, "documents")
+    if collapse == "auto":
+        collapse = D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO
+    if collapse:
+        g = docs.groupBy("text", "source").agg(F.count("*").alias("m"))
+        return (g.select("source", "m",
+                         F.regexp_count(F.col("text"), F.lit(pat)).alias("n"))
+                .groupBy("source")
+                .agg(F.sum(F.col("m") * F.col("n")).alias("total_bpe_tokens"),
+                     F.sum("m").alias("n_docs")))
     return (docs
             .select("source",
                     F.regexp_count(F.col("text"), F.lit(pat)).alias("n"))

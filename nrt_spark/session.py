@@ -34,6 +34,16 @@ def get_spark(cores: int | str = "*", app_name: str = "nrt_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every exchange wide and let AQE coalesce DOWN by its
+        # 64MB advisory size: with only 2x-cores shuffle partitions, a
+        # growing input eventually spills every partition (sf100 probe:
+        # 750M exploded shingle rows / 16 partitions = 47M rows each —
+        # simhash read 12.6x the sf10 wall).  Small queries are
+        # unaffected (AQE coalesces them back to a handful of tasks);
+        # big shuffles keep enough partitions to stay in memory.  This
+        # is the cluster-correct shape: high initial, AQE right-sizes.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(64, 8 * (32 if cores == "*" else int(cores)))))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

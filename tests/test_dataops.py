@@ -718,3 +718,47 @@ def test_ivf_assign_zero_vector_is_null_on_both_paths(spark):
                 for r in ivf_assign(df, C, max_inline_cells=mic).collect()}
         assert rows["z"] is None, f"max_inline_cells={mic}"
         assert rows["a"] == 0, f"max_inline_cells={mic}"
+
+
+def test_contamination_duplicate_collapse_equivalence(spark):
+    """The collapse-first decontamination branch must flag EXACTLY the
+    doc_ids of the uncollapsed shingle semi-join on duplicate-heavy
+    data — the semantics pin for the branch the sf100 probe exercises
+    (driver-scale corpora are unique, so the auto gate never collapses
+    there)."""
+    from nrt_spark.dataops.dedup import contamination_flags
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    dup = base
+    for k in (1, 2):
+        dup = dup.unionAll(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(10**9 * k)))
+    train = dup.filter("source <> 'src19'")
+    ev = dup.filter("source = 'src19'")
+    got = sorted(r["doc_id"] for r in
+                 contamination_flags(train, ev, n=4, collapse=True).collect())
+    want = sorted(r["doc_id"] for r in
+                  contamination_flags(train, ev, n=4,
+                                      collapse=False).collect())
+    assert got == want and len(want) > 0
+
+
+def test_duplicate_ratio_gate_regimes(spark):
+    """The sampled gate reads ~1.0 on a unique corpus (map-only plan
+    kept) and well below COLLAPSE_RATIO on a high-multiplicity one —
+    and a sample under the trust floor returns exactly 1.0."""
+    from nrt_spark.dataops.dedup import (COLLAPSE_RATIO,
+                                         duplicate_ratio_estimate)
+
+    uniq = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert duplicate_ratio_estimate(uniq) > COLLAPSE_RATIO
+    # 500 distinct texts x 400 copies = 200k rows: the 2% fallback
+    # fraction (derived plan, no footer) samples ~4000 rows, ~8 copies
+    # of each text, so the ratio collapses
+    hot = uniq.limit(500).crossJoin(spark.range(400).select(
+        F.col("id").alias("k"))).select(
+        (F.col("doc_id") * 1000 + F.col("k")).alias("doc_id"),
+        "text", "source")
+    assert duplicate_ratio_estimate(hot) < COLLAPSE_RATIO
+    assert duplicate_ratio_estimate(uniq.limit(10)) == 1.0

@@ -147,3 +147,47 @@ def test_counter_rate_matches_sequential_fold(spark, tmp_path):
                 total += cur
                 resets += 1
         assert got[uid] == (total, resets), uid
+
+
+def test_collapsed_branch_matches_oracle_on_duplicated_corpus(spark, tmp_path):
+    """End-to-end pin of the duplicate-collapse branches: a corpus
+    duplicated far past the gate threshold (10 exact copies of every
+    sf0.01 doc — the sampled ratio reads ~0.1) must still match the
+    full uncollapsed DuckDB oracle bit-for-bit on every
+    duplicate-adaptive text query.  This is the branch the sf100 probe
+    runs; the driver-scale corpora are unique, so without this test the
+    collapsed plans would only ever be certified at probe scales."""
+    from pyspark.sql import functions as F
+
+    from nrt_spark.dataops.dedup import (COLLAPSE_RATIO,
+                                         duplicate_ratio_estimate)
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    dup = base
+    for k in range(1, 10):
+        dup = dup.unionAll(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(10**9 * k)))
+    path = str(tmp_path / "documents.parquet")
+    dup.write.parquet(path)
+    docs = spark.read.parquet(path)
+    assert duplicate_ratio_estimate(docs) < COLLAPSE_RATIO  # gate FIRES
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    for name in ("repetition_stats", "decontaminate_docs", "tokenize_docs",
+                 "simhash_fingerprints", "doc_lang_quality",
+                 "token_count_suite"):
+        got = canon(Q.queries()[name](spark, str(tmp_path)).toPandas())
+        want = canon(con.sql(Q.oracle_sql()[name]).df())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), \
+            f"{name}: {len(got)} != {len(want)} rows"
+        for c in got.columns:
+            if np.issubdtype(got[c].dtype, np.floating):
+                np.testing.assert_array_equal(
+                    np.nan_to_num(got[c].to_numpy(), nan=-9e9),
+                    np.nan_to_num(want[c].to_numpy(dtype=np.float64),
+                                  nan=-9e9),
+                    err_msg=f"{name}.{c}")
+            else:
+                mism = (got[c].to_numpy() != want[c].to_numpy())
+                assert not mism.any(), f"{name}.{c}: {mism.sum()} mismatches"

@@ -177,6 +177,7 @@ def main() -> int:
 
     from nrt_spark import queries as Q
     from nrt_spark.oracle import generic_digest_spark
+    from nrt_spark.queries_base import REGISTRY
     from nrt_spark.session import get_spark
 
     spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -200,7 +201,17 @@ def main() -> int:
                  f"{sorted(clash)}: their oracle compares the full "
                  f"result frame (drop them from --digest)")
     names = [n for n in Q.DRIVER_ORDER if n in Q.queries()]
-    oracle = Q.oracle_sql()
+    # RAW registry, not Q.oracle_sql(): the public accessor eagerly
+    # renders every callable-generated oracle (IVF centroid training,
+    # LSH probe buckets, multimodal features — all data-dependent on
+    # $NRT_TEST_SF_DIR), which at probe scales is many minutes of
+    # single-core numpy spent BEFORE the first query even under
+    # --only.  Render lazily per executed query instead, so the cost
+    # lands inside that query's oracle_sec and skipped queries pay
+    # nothing.  (The driver's own compare runs at sf0.01 where the
+    # eager render is cheap — this is a probe-harness concern only.)
+    oracle = {n: REGISTRY[n][1] for n in Q.DRIVER_ORDER
+              if REGISTRY[n][1] is not None}
     py_oracles = _py_oracles()
     out = {}
     # warm-up: pay the session cold-start (codegen, parquet footer
