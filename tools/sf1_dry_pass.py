@@ -149,6 +149,24 @@ def compare(got, want):
     return None
 
 
+def hw_control(spark, rows: int = 2_000_000_000) -> float:
+    """Pure-JVM range-scan throughput (M rows/s) inside the harness's
+    own session — same measurement as bench.run_hw_control but without
+    spinning a fresh context.  The sandbox host oscillates between
+    healthy (~1700-1900 at 8 cores) and degraded (~1200-1350) windows;
+    sampling it before and after the pass lets a reader adjudicate
+    wall-time drift between records as host drift vs plan regression
+    (bench.py already embeds this denominator; round-7 measured two
+    back-to-back full passes at 226s and 284s from host oscillation
+    alone, so the dry pass needs it too)."""
+    from pyspark.sql import functions as F
+
+    spark.range(rows).select(F.avg(F.xxhash64("id"))).collect()  # warm
+    t0 = time.time()
+    spark.range(rows + 1).select(F.avg(F.xxhash64("id"))).collect()
+    return round(rows / (time.time() - t0) / 1e6, 1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf1_dir", nargs="?", default="/tmp/nrt_sf1")
@@ -223,6 +241,7 @@ def main() -> int:
         if Path(f"{sf1}/{t}.parquet").exists():
             spark.read.parquet(f"{sf1}/{t}.parquet").count()
     warmup_sec = round(time.time() - t0, 2)
+    ctl_before = hw_control(spark)
     for name in names:
         if name in skip or (only and name not in only):
             out[name] = {"status": "skipped"}
@@ -308,6 +327,8 @@ def main() -> int:
     n_pass = sum(1 for r in out.values()
                  if r.get("status") in ("pass", "rows_only"))
     print(json.dumps({"sf1_dir": sf1, "warmup_sec": warmup_sec,
+                      "hw_control_m_rows_s": {"before": ctl_before,
+                                              "after": hw_control(spark)},
                       "queries": out,
                       "passed": n_pass, "total": len(names)}))
     return 0
