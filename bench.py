@@ -194,6 +194,30 @@ def run_hw_control(cores_list, rows: int = 2_000_000_000) -> dict:
 #: ~1200/1500.  A control below the floor marks the artifact as a
 #: degraded-session capture and triggers an extra self-healing pass.
 HW_CONTROL_FLOOR = {8: 1500.0, 32: 2800.0}
+
+
+def run_numpy_control(elems: int = 50_000_000, reps: int = 5) -> float:
+    """Single-core numpy cumsum throughput (M elems/s) — the PYTHON-side
+    host control.  The pure-JVM control is blind to the sandbox's
+    python/numpy throttling (round-5: 56s vs 26.8s back-to-back under a
+    HEALTHY JVM control; round-7: numpy-heavy sf1 queries at 2.5x their
+    official walls while the JVM control read 1900+): the two axes
+    degrade independently, so the artifact embeds both denominators."""
+    import numpy as np
+
+    x = np.random.RandomState(1).rand(elems)
+    np.cumsum(x)                                      # warm allocator
+    t0 = time.time()
+    for _ in range(reps):
+        np.cumsum(x)
+    return round(elems * reps / (time.time() - t0) / 1e6, 1)
+
+
+#: provisional healthy floor for the numpy control (M elems/s).
+#: Memory-bound cumsum runs 125-250 M elems/s on an unthrottled core;
+#: the observed throttled window read 15.4.  60 cleanly separates the
+#: two regimes; recalibrate if BENCH.md records healthy sessions lower.
+NUMPY_CONTROL_FLOOR = 60.0
 #: pass-to-pass total-wall disagreement beyond this fraction also
 #: triggers an extra pass — the host throttles python/numpy allocation
 #: in ways the pure-JVM control cannot see (round-5: 56s and 26.8s
@@ -262,8 +286,10 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
     # box's own pure-JVM throughput so the judge can separate host
     # drift from plan regressions — now ALSO the self-healing trigger
     hw = run_hw_control(sorted({8, cores}))
+    np_ctl = run_numpy_control()
     degraded = any(hw[str(c)] < HW_CONTROL_FLOOR[c]
-                   for c in HW_CONTROL_FLOOR if str(c) in hw)
+                   for c in HW_CONTROL_FLOOR if str(c) in hw) \
+        or np_ctl < NUMPY_CONTROL_FLOOR
 
     q_passes: list[dict] = []
     pipes: list[dict] = []
@@ -306,8 +332,10 @@ def run_bench(cores: int, sf_dir: str, include_queries: bool = True) -> dict:
         "cores": cores,
         **_pipeline_fields(pipe),
         "hw_control_rows_per_sec_m": hw,
+        "numpy_control_m_elems_s": np_ctl,
         "self_healing": {
             "hw_floor": HW_CONTROL_FLOOR,
+            "numpy_floor": NUMPY_CONTROL_FLOOR,
             "degraded_control": degraded,
             "passes": len(q_passes),
             "best_pass": best_i + 1,
@@ -351,7 +379,8 @@ def compact_summary(res: dict) -> dict:
                ("metric", "value", "unit", "headline_policy", "queries",
                 "sf", "cores", "rollup_points_per_sec", "bytes_per_point",
                 "bytes_per_point_quantized",
-                "hw_control_rows_per_sec_m") if k in res}
+                "hw_control_rows_per_sec_m",
+                "numpy_control_m_elems_s") if k in res}
     compact["pass_totals"] = sh.get("pass_totals")
     compact["best_pass"] = sh.get("best_pass")
     compact["degraded_control"] = sh.get("degraded_control")

@@ -149,10 +149,10 @@ def compare(got, want):
     return None
 
 
-def hw_control(spark, rows: int = 2_000_000_000) -> float:
-    """Pure-JVM range-scan throughput (M rows/s) inside the harness's
-    own session — same measurement as bench.run_hw_control but without
-    spinning a fresh context.  The sandbox host oscillates between
+def hw_control(spark, rows: int = 2_000_000_000) -> dict:
+    """Host controls on both throttling axes — the pure-JVM range scan
+    (same measurement as bench.run_hw_control, inside the harness's own
+    session) plus the single-core numpy control.  The sandbox host oscillates between
     healthy (~1700-1900 at 8 cores) and degraded (~1200-1350) windows;
     sampling it before and after the pass lets a reader adjudicate
     wall-time drift between records as host drift vs plan regression
@@ -164,7 +164,13 @@ def hw_control(spark, rows: int = 2_000_000_000) -> float:
     spark.range(rows).select(F.avg(F.xxhash64("id"))).collect()  # warm
     t0 = time.time()
     spark.range(rows + 1).select(F.avg(F.xxhash64("id"))).collect()
-    return round(rows / (time.time() - t0) / 1e6, 1)
+    jvm = round(rows / (time.time() - t0) / 1e6, 1)
+    # the python axis throttles independently of the JVM one (round-7:
+    # numpy-heavy queries at 2.5x official walls under a 1900+ JVM
+    # control) — sample both (bench.run_numpy_control, M elems/s)
+    from bench import run_numpy_control
+
+    return {"jvm_m_rows_s": jvm, "numpy_m_elems_s": run_numpy_control()}
 
 
 def main() -> int:
@@ -327,8 +333,8 @@ def main() -> int:
     n_pass = sum(1 for r in out.values()
                  if r.get("status") in ("pass", "rows_only"))
     print(json.dumps({"sf1_dir": sf1, "warmup_sec": warmup_sec,
-                      "hw_control_m_rows_s": {"before": ctl_before,
-                                              "after": hw_control(spark)},
+                      "hw_control": {"before": ctl_before,
+                                     "after": hw_control(spark)},
                       "queries": out,
                       "passed": n_pass, "total": len(names)}))
     return 0
