@@ -90,6 +90,10 @@ def spread_for_explode(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 #: per DISTINCT text and expand back, else keep the map-only plan
 COLLAPSE_RATIO = 0.7
 
+#: session-scoped duplicate_ratio_estimate results for bare-scan inputs
+#: (see its docstring); bounded, cleared wholesale past 256 entries
+_GATE_CACHE: dict = {}
+
 
 def duplicate_ratio_estimate(docs: DataFrame, sample_rows: int = 50_000,
                              seed: int = 7) -> float:
@@ -117,19 +121,41 @@ def duplicate_ratio_estimate(docs: DataFrame, sample_rows: int = 50_000,
     run produce identical results (pinned by the multiplicity-
     invariance tests), so sampling variance across file layouts can
     never change a query answer, only its wall time.
+
+    Session-scoped cache: several registry queries gate on the SAME
+    documents table in one pass (tokenize, simhash, repetition,
+    lang-quality, token counts...), and the probe is a full-sample scan
+    job each time.  When the input is a bare file scan the result is
+    cached on (sorted file list, footer row count, params) — a key that
+    changes if the table is overwritten in place — so a full pass pays
+    for ONE probe per table.  Derived/filtered inputs have no cheap
+    stable identity and are never cached.  Plan-shape-only decision, so
+    a stale hit could only ever cost wall time, not correctness.
     """
     from nrt_spark.dataops.simsearch import _source_row_estimate
 
     est = _source_row_estimate(docs)
+    key = None
+    if est is not None:
+        try:
+            key = (tuple(sorted(docs.inputFiles())), est[0],
+                   sample_rows, seed)
+        except Exception:
+            key = None
+        if key is not None and key in _GATE_CACHE:
+            return _GATE_CACHE[key]
     frac = 0.02 if est is None else min(1.0, sample_rows / max(est[0], 1))
     row = (docs.sample(False, frac, seed=seed)
            .agg(F.approx_count_distinct(
                     F.md5(normalized_text())).alias("d"),
                 F.count("*").alias("n"))
            .collect()[0])
-    if row["n"] < 2000:
-        return 1.0
-    return min(1.0, row["d"] / row["n"])
+    ratio = 1.0 if row["n"] < 2000 else min(1.0, row["d"] / row["n"])
+    if key is not None:
+        if len(_GATE_CACHE) >= 256:
+            _GATE_CACHE.clear()
+        _GATE_CACHE[key] = ratio
+    return ratio
 
 
 def collapse_per_doc(docs: DataFrame, compute,
@@ -155,13 +181,31 @@ def collapse_per_doc(docs: DataFrame, compute,
     groups = _dup_groups(docs, members=False)
     reps = groups.select(F.col("rep").alias("doc_id"),
                          F.col("_t").alias("text"))
-    vals = compute(reps)
+    return expand_per_doc(docs, groups, compute(reps))
+
+
+def expand_per_doc(docs: DataFrame, groups: DataFrame,
+                   vals: DataFrame) -> DataFrame:
+    """Expand per-REPRESENTATIVE metric rows (``vals``: one row per rep
+    doc_id) back to every doc_id of ``docs`` through NULL-SAFE text
+    equality — the join-back half of the duplicate-adaptive collapse,
+    shared by :func:`collapse_per_doc` and the composite queries that
+    reuse one ``_dup_groups`` relation across several metrics.
+
+    The text key MUST join null-safely (``<=>``): ``_dup_groups``
+    groups NULL-text docs into one group (SQL GROUP BY treats NULLs as
+    equal), but a plain equi-join on ``_t`` never matches NULL keys, so
+    those docs would silently vanish from the collapsed branch while
+    the uncollapsed map emits a row for every doc.  ``<=>`` is still an
+    equi-join key for Spark (hash/sort-merge joinable, no nested
+    loop)."""
     metric_cols = [c for c in vals.columns if c != "doc_id"]
     per_text = (groups.select("rep", "_t")
                 .join(vals.withColumnRenamed("doc_id", "rep"), "rep")
                 .select("_t", *metric_cols))
-    return (docs.select("doc_id", normalized_text().alias("_t"))
-            .join(per_text, "_t")
+    docs_t = docs.select("doc_id", normalized_text().alias("_t"))
+    return (docs_t
+            .join(per_text, docs_t["_t"].eqNullSafe(per_text["_t"]))
             .select("doc_id", *metric_cols))
 
 
@@ -576,6 +620,10 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
                    .join(ev_sh, "shingle", "left_semi")
                    .select(F.col("doc_id").alias("rep")).distinct())
         bad_t = groups.join(flagged, "rep", "left_semi").select("_t")
+        # plain (NOT null-safe) semi-join is correct here, unlike
+        # expand_per_doc: a NULL-text doc yields no shingles on the
+        # uncollapsed branch either, so "never flagged" is the matching
+        # semantic on both paths
         return (train.select("doc_id", normalized_text().alias("_t"))
                 .join(bad_t, "_t", "left_semi")
                 .select("doc_id"))

@@ -59,6 +59,43 @@ def _seqfold_sqnorms(X: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _stack_batch(vecs: "pd.Series", dim: int
+                 ) -> "tuple[np.ndarray, np.ndarray]":
+    """Stack one Arrow batch of array<double> values into an (n, dim)
+    float64 matrix plus a row-validity mask.
+
+    A row that is NULL or not shaped (dim,) is INVALID: the retired
+    Catalyst fold (``aggregate`` over the array) propagated NULL for
+    such rows, but a bare ``np.asarray`` over the batch raises
+    ValueError (inhomogeneous shape) and fails the whole job.  Invalid
+    rows are zero-filled so the vectorized kernels still run; callers
+    NULL their outputs back via the mask.  The all-valid fast path is
+    one array construction, same cost as before the guard."""
+    try:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if X.ndim == 2 and X.shape[1] == dim:
+            return X, np.ones(len(X), dtype=bool)
+    except (TypeError, ValueError):
+        pass
+    n = len(vecs)
+    X = np.zeros((n, dim))
+    valid = np.ones(n, dtype=bool)
+    for i, v in enumerate(vecs):
+        if v is None:
+            valid[i] = False
+            continue
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            valid[i] = False
+            continue
+        if a.shape != (dim,):
+            valid[i] = False
+            continue
+        X[i] = a
+    return X, valid
+
+
 def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
@@ -78,13 +115,17 @@ def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
 
     @F.pandas_udf("double")
     def cos_udf(vecs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X, valid = _stack_batch(vecs, len(p))
         if not len(X):
             return pd.Series([], dtype=float)
         dots = _seqfold_dots(X, p[None, :])[:, 0]
         denom = np.sqrt(_seqfold_sqnorms(X)) * pnorm
         with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(dots / denom)
+            out = dots / denom
+        # NULL/ragged vectors: NaN here -> NULL in Spark (Arrow
+        # from_pandas), the retired Catalyst fold's NULL propagation
+        out[~valid] = np.nan
+        return pd.Series(out)
 
     return (
         embeddings
@@ -136,8 +177,20 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
     pdf = embeddings.select(id_col, vec_col).toPandas()
     order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
     ids = pdf[id_col].to_numpy()[order]
-    M = np.asarray([np.asarray(v, np.float64)
-                    for v in pdf[vec_col].to_numpy()[order]])
+    vals = pdf[vec_col].to_numpy()[order]
+    dims = {len(v) for v in vals if v is not None}
+    if len(dims) > 1:
+        raise ValueError(
+            f"cosine_all_pairs: mixed embedding lengths {sorted(dims)}; "
+            "a ragged table has no dense similarity matrix")
+    if any(v is None for v in vals):
+        # a NULL vector pairs with NULL cosine under the zip_with fold
+        # -> never >= threshold; dropping those rows up front is
+        # equivalent and keeps the dense matrix build possible
+        keep = np.array([v is not None for v in vals])
+        ids, vals = ids[keep], vals[keep]
+        n = len(ids)
+    M = np.asarray([np.asarray(v, np.float64) for v in vals])
     # sequential-fold norms: acc = (acc + v_d * v_d), matching the HOF
     # aggregate and DuckDB's list_dot_product exactly (np.sum is
     # pairwise and may differ in the last ulp)
@@ -439,7 +492,7 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     if len(centroids) <= max_inline_cells:
         @F.pandas_udf("int")
         def cell_seq_udf(vecs: pd.Series) -> pd.Series:
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            X, valid = _stack_batch(vecs, C.shape[1])
             if not len(X):
                 return pd.Series([], dtype="Int32")
             norms = np.sqrt(_seqfold_sqnorms(X))
@@ -449,8 +502,9 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
             out = pd.array(np.argmax(sims, axis=1).astype(np.int32),
                            dtype="Int32")
             # zero-norm vectors: NULL cell (the retired Catalyst path's
-            # try_divide contract; the matmul path mirrors it too)
-            out[norms == 0] = pd.NA
+            # try_divide contract; the matmul path mirrors it too).
+            # NULL/ragged vectors: NULL cell, the fold's NULL propagation.
+            out[(norms == 0) | ~valid] = pd.NA
             return pd.Series(out)
 
         return embeddings.select(id_col, vec_col,
@@ -458,7 +512,7 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
 
     @F.pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X, valid = _stack_batch(vecs, C.shape[1])
         if not len(X):
             return pd.Series([], dtype="Int32")
         norms = np.sqrt((X * X).sum(axis=1))
@@ -468,8 +522,9 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
         out = pd.array(np.argmax(sims, axis=1).astype(np.int32),
                        dtype="Int32")
         # zero-norm vectors: NULL cell, mirroring the sequential-fold
-        # path's contract (and the retired Catalyst try_divide's)
-        out[norms == 0] = pd.NA
+        # path's contract (and the retired Catalyst try_divide's).
+        # NULL/ragged vectors: NULL cell (fold NULL propagation).
+        out[(norms == 0) | ~valid] = pd.NA
         return pd.Series(out)
 
     return embeddings.select(id_col, vec_col,
@@ -516,13 +571,16 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
 
     @F.pandas_udf("array<int>")
     def buckets_udf(vecs: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X, valid = _stack_batch(vecs, P.shape[1])
         if not len(X):
             return pd.Series([], dtype=object)
         signs = (X @ P.T) >= 0                            # (n, T*b)
         B = signs.reshape(len(X), n_tables, n_planes)
         out = (B * weights).sum(axis=2).astype(np.int32)  # (n, T)
-        return pd.Series(list(out))
+        # NULL/ragged vectors: NULL bucket array -> posexplode emits no
+        # candidate rows for them (un-bucketable, never a pair member)
+        return pd.Series([b if ok else None
+                          for b, ok in zip(out, valid)])
 
     return embeddings.select(
         id_col, F.posexplode(buckets_udf(vec_col))

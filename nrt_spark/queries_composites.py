@@ -402,20 +402,14 @@ def doc_lang_quality(spark, sf_dir):
         groups = D._dup_groups(docs, members=False)
         reps = groups.select(F.col("rep").alias("doc_id"),
                              F.col("_t").alias("text"))
-        docs_t = docs.select("doc_id", D.normalized_text().alias("_t"))
-
-        def expand(vals):
-            cols = [c for c in vals.columns if c != "doc_id"]
-            per_t = (groups.select("rep", "_t")
-                     .join(vals.withColumnRenamed("doc_id", "rep"), "rep")
-                     .select("_t", *cols))
-            return docs_t.join(per_t, "_t").select("doc_id", *cols)
-
-        l = expand(TS.language_id(reps))
+        # join-back shared with collapse_per_doc (null-safe text
+        # equality: NULL-text docs must not vanish from the collapsed
+        # branch — see dedup.expand_per_doc)
+        l = D.expand_per_doc(docs, groups, TS.language_id(reps))
         h = (TS.quality_scores(reps).withColumnRenamed("doc_id", "rep")
              .join(groups.select("rep", "m"), "rep")
              .groupBy("quality").agg(F.sum("m").alias("n_docs")))
-        bf = expand(TS.bigram_freq_stats(
+        bf = D.expand_per_doc(docs, groups, TS.bigram_freq_stats(
             reps, weights=groups.select(F.col("rep").alias("doc_id"), "m")))
     else:
         l = langid_docs(spark, sf_dir)

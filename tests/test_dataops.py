@@ -720,6 +720,43 @@ def test_ivf_assign_zero_vector_is_null_on_both_paths(spark):
         assert rows["a"] == 0, f"max_inline_cells={mic}"
 
 
+def test_null_and_ragged_embeddings_propagate_null(spark):
+    """A NULL or wrong-length embedding row must get NULL outputs —
+    the retired Catalyst fold's propagation (zip_with pads mismatched
+    lengths with NULL) — not crash the Arrow batch: a bare np.asarray
+    over a batch containing None raises ValueError('inhomogeneous
+    shape') and fails the whole job.  Covers all four vectorized UDFs:
+    cosine_topk, both ivf_assign strategies, and lsh_multi_assign."""
+    import numpy as np
+
+    from nrt_spark.dataops.simsearch import (cosine_topk, ivf_assign,
+                                             lsh_multi_assign)
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0]),
+         ("n", None),
+         ("r", [1.0, 2.0]),               # ragged: wrong length
+         ("b", [0.0, 1.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>")
+
+    top = {r["vec_id"]: r["cosine"]
+           for r in cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=4).collect()}
+    assert top["a"] == 1.0 and top["b"] == 0.0
+    assert top["n"] is None and top["r"] is None
+
+    C = np.eye(4)[:3]
+    for mic in (10_000, 0):                # inline path, matmul path
+        cells = {r["vec_id"]: r["cell"]
+                 for r in ivf_assign(df, C, max_inline_cells=mic).collect()}
+        assert cells["a"] == 0 and cells["b"] == 1, f"mic={mic}"
+        assert cells["n"] is None and cells["r"] is None, f"mic={mic}"
+
+    bk = lsh_multi_assign(df, n_planes=2, n_tables=2, dim=4)
+    per_id = {r["vec_id"] for r in bk.collect()}
+    assert per_id == {"a", "b"}, (
+        "un-bucketable NULL/ragged vectors must emit no candidate rows")
+
+
 def test_contamination_duplicate_collapse_equivalence(spark):
     """The collapse-first decontamination branch must flag EXACTLY the
     doc_ids of the uncollapsed shingle semi-join on duplicate-heavy
@@ -744,6 +781,54 @@ def test_contamination_duplicate_collapse_equivalence(spark):
     assert got == want and len(want) > 0
 
 
+def test_collapsed_branch_keeps_null_text_docs(spark, tmp_path, monkeypatch):
+    """NULL-text docs must survive the duplicate-collapse round-trip:
+    _dup_groups puts them in ONE group (GROUP BY treats NULLs as
+    equal) but a plain equi-join on the text key would never match
+    them back, silently dropping those doc_ids from the collapsed
+    branch only — the branches must emit identical rows (null-safe
+    join in dedup.expand_per_doc).  Pins both collapse_per_doc and
+    doc_lang_quality's shared expand."""
+    import pandas as pd
+
+    from nrt_spark.dataops import textstats as TS
+    from nrt_spark.dataops.dedup import collapse_per_doc
+    from nrt_spark import queries as Q
+
+    def canon(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1).astype(str)
+        return (pdf.sort_values(list(pdf.columns))
+                .reset_index(drop=True))
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20)
+    nulls = (base.limit(3)
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10**8))
+             .withColumn("text", F.lit(None).cast("string")))
+    dup = base.unionAll(nulls)
+    for k in (1, 2):
+        dup = dup.unionAll(base.unionAll(nulls).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10**9 * k)))
+
+    got = canon(collapse_per_doc(dup, TS.language_id,
+                                 collapse=True).toPandas())
+    want = canon(collapse_per_doc(dup, TS.language_id,
+                                  collapse=False).toPandas())
+    assert len(got) == dup.count(), "collapsed branch dropped docs"
+    pd.testing.assert_frame_equal(got, want)
+
+    path = str(tmp_path / "documents.parquet")
+    dup.write.parquet(path)
+    run = Q.queries()["doc_lang_quality"]
+    monkeypatch.setattr("nrt_spark.dataops.dedup.duplicate_ratio_estimate",
+                        lambda docs, **kw: 0.0)
+    collapsed = canon(run(spark, str(tmp_path)).toPandas())
+    monkeypatch.setattr("nrt_spark.dataops.dedup.duplicate_ratio_estimate",
+                        lambda docs, **kw: 1.0)
+    uncollapsed = canon(run(spark, str(tmp_path)).toPandas())
+    pd.testing.assert_frame_equal(collapsed, uncollapsed)
+
+
 def test_duplicate_ratio_gate_regimes(spark):
     """The sampled gate reads ~1.0 on a unique corpus (map-only plan
     kept) and well below COLLAPSE_RATIO on a high-multiplicity one —
@@ -762,3 +847,13 @@ def test_duplicate_ratio_gate_regimes(spark):
         "text", "source")
     assert duplicate_ratio_estimate(hot) < COLLAPSE_RATIO
     assert duplicate_ratio_estimate(uniq.limit(10)) == 1.0
+
+    # bare-scan probes are cached per session (several registry queries
+    # gate on the same table in one pass); derived plans are not
+    from nrt_spark.dataops import dedup as D
+
+    keys = [k for k in D._GATE_CACHE
+            if k[0] == tuple(sorted(uniq.inputFiles()))]
+    assert len(keys) == 1
+    cached = D._GATE_CACHE[keys[0]]
+    assert duplicate_ratio_estimate(uniq) == cached

@@ -149,14 +149,23 @@ def test_counter_rate_matches_sequential_fold(spark, tmp_path):
         assert got[uid] == (total, resets), uid
 
 
-def test_collapsed_branch_matches_oracle_on_duplicated_corpus(spark, tmp_path):
+def test_collapsed_branch_matches_oracle_on_duplicated_corpus(
+        spark, tmp_path, monkeypatch):
     """End-to-end pin of the duplicate-collapse branches: a corpus
     duplicated far past the gate threshold (10 exact copies of every
     sf0.01 doc — the sampled ratio reads ~0.1) must still match the
     full uncollapsed DuckDB oracle bit-for-bit on every
     duplicate-adaptive text query.  This is the branch the sf100 probe
     runs; the driver-scale corpora are unique, so without this test the
-    collapsed plans would only ever be certified at probe scales."""
+    collapsed plans would only ever be certified at probe scales.
+
+    The gate is FORCED (monkeypatched to 0.0) so every query provably
+    takes the collapsed branch: decontaminate_docs gates on its
+    FILTERED train relation, whose ~2%-fallback sample at this corpus
+    size lands under the 2000-row trust floor — with the real sampled
+    gate its collapsed path would silently never run here (the gate's
+    own regimes are pinned separately in
+    test_duplicate_ratio_gate_regimes)."""
     from pyspark.sql import functions as F
 
     from nrt_spark.dataops.dedup import (COLLAPSE_RATIO,
@@ -170,7 +179,9 @@ def test_collapsed_branch_matches_oracle_on_duplicated_corpus(spark, tmp_path):
     path = str(tmp_path / "documents.parquet")
     dup.write.parquet(path)
     docs = spark.read.parquet(path)
-    assert duplicate_ratio_estimate(docs) < COLLAPSE_RATIO  # gate FIRES
+    assert duplicate_ratio_estimate(docs) < COLLAPSE_RATIO  # gate regime
+    monkeypatch.setattr("nrt_spark.dataops.dedup.duplicate_ratio_estimate",
+                        lambda docs, **kw: 0.0)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
     for name in ("repetition_stats", "decontaminate_docs", "tokenize_docs",

@@ -294,14 +294,22 @@ def main() -> int:
                 err = compare(canon(sdf), canon(odf))
                 rec["status"] = "pass" if err is None else f"FAIL: {err}"
             elif name in oracle and not args.no_oracle:
+                # the timer starts BEFORE the lazy sql() render: a
+                # data-dependent oracle (IVF centroid training, LSH
+                # probe buckets) can spend minutes rendering at probe
+                # scales, and a wall recorded in no field would break
+                # spark_sec+oracle_sec totalling.  render_sec splits it
+                # out so plan-vs-host adjudication can still separate
+                # the numpy render from the DuckDB execution.
+                t0 = time.time()
                 sql = oracle[name]
                 sql = sql() if callable(sql) else sql
+                rec["oracle_render_sec"] = round(time.time() - t0, 2)
                 if name in DIGEST_QUERIES:
                     sql = DIGEST_QUERIES[name][1].format(sql=sql)
                 elif name in gdigest:
                     from nrt_spark.oracle import generic_digest_sql_for
                     sql = generic_digest_sql_for(con, sql)
-                t0 = time.time()
                 odf = con.sql(sql).df()
                 rec["oracle_sec"] = round(time.time() - t0, 2)
                 err = compare(canon(sdf), canon(odf))
