@@ -186,10 +186,17 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
     if any(v is None for v in vals):
         # a NULL vector pairs with NULL cosine under the zip_with fold
         # -> never >= threshold; dropping those rows up front is
-        # equivalent and keeps the dense matrix build possible
+        # equivalent and keeps the dense matrix build possible (the
+        # executor stream below still carries every id — gen() skips
+        # the dropped ones)
         keep = np.array([v is not None for v in vals])
         ids, vals = ids[keep], vals[keep]
         n = len(ids)
+    if n == 0:
+        # empty table, or every embedding NULL: the pair set is empty
+        # (don't build the (0, ?) matrix — M.shape[1] would raise)
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double")
     M = np.asarray([np.asarray(v, np.float64) for v in vals])
     # sequential-fold norms: acc = (acc + v_d * v_d), matching the HOF
     # aggregate and DuckDB's list_dot_product exactly (np.sum is
@@ -218,6 +225,14 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
             out = {"vec_a": [], "vec_b": [], "cosine": []}
             for s in range(0, len(a_ids), 1024):
                 chunk = a_ids[s:s + 1024]
+                # the stream carries EVERY id; rows whose embedding was
+                # NULL are absent from pos (dropped on the driver) and
+                # can be in no pair — skip them instead of KeyError
+                in_pos = np.fromiter((int(i) in pos for i in chunk),
+                                     dtype=bool, count=len(chunk))
+                chunk = chunk[in_pos]
+                if not len(chunk):
+                    continue
                 ai = np.fromiter((pos[int(i)] for i in chunk),
                                  dtype=np.int64, count=len(chunk))
                 sims = Mn_g[ai] @ Mn_g.T            # blocked matmul
@@ -265,11 +280,25 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "nrt") -> np.ndarray:
     return out
 
 
+def _probe_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first NON-NULL vector — a
+    one-row short-circuit scan (filter + limit-1 pushdown).  A bare
+    ``first()[0]`` would TypeError on len(None) whenever the first
+    returned row happens to carry a NULL embedding."""
+    row = (embeddings.select(vec_col)
+           .where(F.col(vec_col).isNotNull()).first())
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dimension: table has no non-NULL "
+            f"'{vec_col}' row (pass dim explicitly where supported)")
+    return len(row[0])
+
+
 def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
                vec_col: str = "embedding", id_col: str = "vec_id"
                ) -> DataFrame:
     """Assign each vector its LSH bucket (int in [0, 2^n_planes))."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = _probe_dim(embeddings, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
     cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = None
@@ -449,6 +478,15 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
     while big and len(rows) < sample and cut < K:
         cut = min(cut * 4, K)         # under-delivery: widen and redraw
         rows = draw(cut)
+    # drop NULL embeddings from the drawn sample (training would crash
+    # stacking them; they can't inform centroids).  POST-draw so the
+    # draw itself stays a bare ordered-limit scan, and mirrored
+    # exactly by ivf_ann_oracle so both engines train on the same rows.
+    rows = [r for r in rows if r is not None]
+    if not rows:
+        raise ValueError(
+            "ivf_train: every sampled embedding is NULL — nothing to "
+            "train on")
     X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -564,7 +602,7 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
     (e.g. an aggregate) whose first() would run the whole job eagerly.
     """
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _probe_dim(embeddings, vec_col)
     P = np.concatenate([hyperplanes(dim, n_planes, f"{seed}-{t}")
                         for t in range(n_tables)])        # (T*b, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -655,7 +693,7 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     # probe the dimension on the BASE table (one-row short-circuit
     # scan) — probing on the reps aggregate would eagerly run the
     # whole group-by shuffle at plan-build time
-    dim = len(embeddings.select(vec_col).first()[0])
+    dim = _probe_dim(embeddings, vec_col)
     # checkpointed: the group-by feeds FOUR subtrees of the returned
     # plan (reps, ga, gb, intra) — without materialization Spark may
     # re-run the shuffle up to four times per action unless AQE

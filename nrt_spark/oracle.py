@@ -319,6 +319,13 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
         rows = duckdb.sql(
             f"SELECT vec_id, embedding FROM {src} "
             f"ORDER BY vec_id LIMIT {int(sample)}").fetchall()
+    # mirror ivf_train's post-draw NULL drop (same rows, same order, so
+    # the centroid math below sees identical input on both engines)
+    rows = [r for r in rows if r[1] is not None]
+    if not rows:
+        raise ValueError(
+            "ivf_ann_oracle: every sampled embedding is NULL — nothing "
+            "to train on")
     X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")

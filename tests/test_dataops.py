@@ -757,6 +757,41 @@ def test_null_and_ragged_embeddings_propagate_null(spark):
         "un-bucketable NULL/ragged vectors must emit no candidate rows")
 
 
+def test_null_embeddings_in_all_pairs_probe_and_train(spark):
+    """The remaining NULL-embedding surfaces: cosine_all_pairs must
+    skip NULL rows on BOTH the driver matrix and the executor id
+    stream (a one-sided drop KeyErrors in the task), the dim probe
+    must read past a NULL first row, an all-NULL table yields the
+    empty pair set, and ivf_train drops NULL rows from its sample
+    (mirrored by the oracle twin) instead of crashing the stack."""
+    import numpy as np
+
+    from nrt_spark.dataops.simsearch import (cosine_all_pairs, ivf_train,
+                                             lsh_multi_assign)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, None)],
+        "vec_id long, embedding array<double>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in cosine_all_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 3): 1.0}, pairs
+
+    all_null = df.filter("embedding IS NULL")
+    assert cosine_all_pairs(all_null, threshold=0.5).count() == 0
+
+    # NULL-first table: the dim probe must scan past it (a bare
+    # first()[0] is TypeError: len(None))
+    nf = spark.createDataFrame(
+        [(2, None), (1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    assert {r["vec_id"] for r in
+            lsh_multi_assign(nf, n_planes=2, n_tables=2).collect()} \
+        == {1, 3}
+
+    C = ivf_train(df, n_cells=2, iters=2)
+    assert C.shape == (2, 2) and np.isfinite(C).all()
+
+
 def test_contamination_duplicate_collapse_equivalence(spark):
     """The collapse-first decontamination branch must flag EXACTLY the
     doc_ids of the uncollapsed shingle semi-join on duplicate-heavy
