@@ -227,14 +227,19 @@ def cosine_all_pairs(embeddings: DataFrame, threshold: float = 0.4,
                 chunk = a_ids[s:s + 1024]
                 # the stream carries EVERY id; rows whose embedding was
                 # NULL are absent from pos (dropped on the driver) and
-                # can be in no pair — skip them instead of KeyError
-                in_pos = np.fromiter((int(i) in pos for i in chunk),
-                                     dtype=bool, count=len(chunk))
-                chunk = chunk[in_pos]
-                if not len(chunk):
-                    continue
-                ai = np.fromiter((pos[int(i)] for i in chunk),
+                # can be in no pair — skip them instead of KeyError.
+                # One pos.get pass (same cost as the original single
+                # lookup on NULL-free tables); a plan-level isNotNull
+                # filter on the stream would instead force the scan to
+                # READ the vector column, regressing the pinned
+                # id-only ReadSchema (test_plan_shapes).
+                ai = np.fromiter((pos.get(int(i), -1) for i in chunk),
                                  dtype=np.int64, count=len(chunk))
+                if (ai < 0).any():
+                    sel = ai >= 0
+                    chunk, ai = chunk[sel], ai[sel]
+                    if not len(chunk):
+                        continue
                 sims = Mn_g[ai] @ Mn_g.T            # blocked matmul
                 # NaN survives the prune AND the exact cut (Spark/DuckDB
                 # order NaN above all doubles, so their `>= threshold`
@@ -280,25 +285,38 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "nrt") -> np.ndarray:
     return out
 
 
-def _probe_dim(embeddings: DataFrame, vec_col: str) -> int:
+def _probe_dim(embeddings: DataFrame, vec_col: str,
+               required: bool = True) -> "int | None":
     """Embedding dimensionality from the first NON-NULL vector — a
     one-row short-circuit scan (filter + limit-1 pushdown).  A bare
     ``first()[0]`` would TypeError on len(None) whenever the first
-    returned row happens to carry a NULL embedding."""
+    returned row happens to carry a NULL embedding.  With
+    ``required=False`` an empty/all-NULL table returns None and the
+    caller picks its degenerate result (empty pair set, NULL buckets)
+    instead of an error."""
     row = (embeddings.select(vec_col)
            .where(F.col(vec_col).isNotNull()).first())
     if row is None:
-        raise ValueError(
-            f"cannot infer embedding dimension: table has no non-NULL "
-            f"'{vec_col}' row (pass dim explicitly where supported)")
+        if required:
+            raise ValueError(
+                f"cannot infer embedding dimension: table has no "
+                f"non-NULL '{vec_col}' row (pass dim explicitly where "
+                f"supported)")
+        return None
     return len(row[0])
 
 
 def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
-               vec_col: str = "embedding", id_col: str = "vec_id"
-               ) -> DataFrame:
-    """Assign each vector its LSH bucket (int in [0, 2^n_planes))."""
-    dim = _probe_dim(embeddings, vec_col)
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: "int | None" = None) -> DataFrame:
+    """Assign each vector its LSH bucket (int in [0, 2^n_planes)).
+    ``dim`` skips the one-row probe scan (callers with a probe vector
+    know it for free); an all-NULL table degrades to NULL buckets."""
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col, required=False)
+    if dim is None:
+        return embeddings.select(
+            id_col, vec_col, F.lit(None).cast("int").alias("bucket"))
     planes = hyperplanes(dim, n_planes, seed)
     cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = None
@@ -471,22 +489,25 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16, iters: int = 10,
         if big and c < K:
             src = cand.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(K)) < F.lit(int(c)))
-        return (src.orderBy(id_col).limit(sample)
+        # NULL embeddings are filtered BEFORE the ordered limit so they
+        # never count toward the sample quota (a NULL-heavy table would
+        # otherwise silently train on far fewer rows than `sample`);
+        # under-delivery from the filter escalates the cut exactly like
+        # hash under-delivery.  Mirrored by ivf_ann_oracle's
+        # IS NOT NULL fetch so both engines train on identical rows.
+        return (src.where(F.col(vec_col).isNotNull())
+                .orderBy(id_col).limit(sample)
                 .toPandas()[vec_col].tolist())
 
     rows = draw(cut)
     while big and len(rows) < sample and cut < K:
         cut = min(cut * 4, K)         # under-delivery: widen and redraw
         rows = draw(cut)
-    # drop NULL embeddings from the drawn sample (training would crash
-    # stacking them; they can't inform centroids).  POST-draw so the
-    # draw itself stays a bare ordered-limit scan, and mirrored
-    # exactly by ivf_ann_oracle so both engines train on the same rows.
-    rows = [r for r in rows if r is not None]
-    if not rows:
+    if len(rows) < n_cells:
         raise ValueError(
-            "ivf_train: every sampled embedding is NULL — nothing to "
-            "train on")
+            f"ivf_train: only {len(rows)} non-NULL embeddings available "
+            f"for n_cells={n_cells} — the (n_cells, dim) centroid "
+            f"contract cannot be met")
     X = np.asarray([np.asarray(r, dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -602,7 +623,15 @@ def lsh_multi_assign(embeddings: DataFrame, n_planes: int = 4,
     (e.g. an aggregate) whose first() would run the whole job eagerly.
     """
     if dim is None:
-        dim = _probe_dim(embeddings, vec_col)
+        dim = _probe_dim(embeddings, vec_col, required=False)
+    if dim is None:
+        # empty/all-NULL table: nothing is bucketable, so the
+        # assignment relation is empty (same semantics as buckets_udf
+        # emitting a NULL array per NULL vector)
+        return (embeddings
+                .select(id_col, F.lit(0).cast("int").alias("table_idx"),
+                        F.lit(0).cast("int").alias("bucket"))
+                .where(F.lit(False)))
     P = np.concatenate([hyperplanes(dim, n_planes, f"{seed}-{t}")
                         for t in range(n_tables)])        # (T*b, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -693,7 +722,15 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     # probe the dimension on the BASE table (one-row short-circuit
     # scan) — probing on the reps aggregate would eagerly run the
     # whole group-by shuffle at plan-build time
-    dim = _probe_dim(embeddings, vec_col)
+    dim = _probe_dim(embeddings, vec_col, required=False)
+    if dim is None:
+        # empty/all-NULL table: NULL vectors are un-bucketable and
+        # pair with NULL cosine — the pair set is empty, matching
+        # cosine_all_pairs' degenerate result
+        return (embeddings.select(F.col(id_col).alias("id_a"),
+                                  F.col(id_col).alias("id_b"),
+                                  F.lit(0.0).alias("cosine"))
+                .where(F.lit(False)))
     # checkpointed: the group-by feeds FOUR subtrees of the returned
     # plan (reps, ga, gb, intra) — without materialization Spark may
     # re-run the shuffle up to four times per action unless AQE
@@ -761,7 +798,10 @@ def lsh_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
     ~T/2^b of the table).  At scale each table's bucket is a partition
     key, so this stays a pruned scan — T lookups instead of 1."""
     if n_tables <= 1:
-        assigned = lsh_assign(embeddings, n_planes, seed, vec_col, id_col)
+        # the probe vector fixes the dimension for free — no one-row
+        # probe scan job, and an all-NULL table degrades to empty top-k
+        assigned = lsh_assign(embeddings, n_planes, seed, vec_col, id_col,
+                              dim=len(probe))
         planes = hyperplanes(len(probe), n_planes, seed)
         probe_bucket = 0
         pv = np.asarray(probe, dtype=np.float64)
@@ -772,7 +812,7 @@ def lsh_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
             assigned.filter(F.col("bucket") == probe_bucket), probe, k,
             vec_col, id_col)
     assigned = lsh_multi_assign(embeddings, n_planes, n_tables, seed,
-                                vec_col, id_col)
+                                vec_col, id_col, dim=len(probe))
     pbs = lsh_probe_buckets(probe, n_planes, n_tables, seed)
     # candidate: collides with the probe in ANY table; bucket-per-table
     # literal lookup keeps the filter a single array index comparison

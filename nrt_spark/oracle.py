@@ -296,8 +296,13 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
         # bit-identical
         K = IVF_SAMPLE_BUCKETS
         cut = -(-K * IVF_SAMPLE_OVERSAMPLE * sample // n_total)
-        ids = [r[0] for r in
-               duckdb.sql(f"SELECT vec_id FROM {src}").fetchall()]
+        # only NON-NULL embeddings count toward the sample quota —
+        # the exact mirror of ivf_train's isNotNull filter BEFORE its
+        # ordered limit, so escalation fires on the same survivor
+        # counts and both engines select identical id sets
+        ids = [r[0] for r in duckdb.sql(
+            f"SELECT vec_id FROM {src} "
+            f"WHERE embedding IS NOT NULL").fetchall()]
         hashes = {int(i): spark_xxhash64_long(int(i)) % K for i in ids}
         keep = sorted(i for i in ids if hashes[int(i)] < cut)[:sample]
         while len(keep) < sample and cut < K:
@@ -318,14 +323,13 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     else:
         rows = duckdb.sql(
             f"SELECT vec_id, embedding FROM {src} "
+            f"WHERE embedding IS NOT NULL "
             f"ORDER BY vec_id LIMIT {int(sample)}").fetchall()
-    # mirror ivf_train's post-draw NULL drop (same rows, same order, so
-    # the centroid math below sees identical input on both engines)
-    rows = [r for r in rows if r[1] is not None]
-    if not rows:
+    if len(rows) < n_cells:
         raise ValueError(
-            "ivf_ann_oracle: every sampled embedding is NULL — nothing "
-            "to train on")
+            f"ivf_ann_oracle: only {len(rows)} non-NULL embeddings "
+            f"available for n_cells={n_cells} (mirrors ivf_train's "
+            f"centroid-contract guard)")
     X = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     h = int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
@@ -340,9 +344,16 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
                 C[c] = mu / (np.linalg.norm(mu) or 1.0)
     # probe = vec_id 0, fetched explicitly — on the hash-filtered
     # sample path rows[0] is the smallest SURVIVING id, not id 0
-    probe = np.asarray(duckdb.sql(
-        f"SELECT embedding FROM {src} WHERE vec_id = 0").fetchone()[0],
-        dtype=np.float64)
+    prow = duckdb.sql(
+        f"SELECT embedding FROM {src} WHERE vec_id = 0").fetchone()
+    if prow is None or prow[0] is None:
+        # mirror queries_nrt._probe_vector's clear error (a bare
+        # subscript turns both shapes into cryptic TypeErrors)
+        what = "has a NULL embedding" if prow is not None else "is absent"
+        raise ValueError(
+            f"ivf_ann_oracle: probe row vec_id=0 {what} — the ANN "
+            f"oracle needs a non-NULL probe vector")
+    probe = np.asarray(prow[0], dtype=np.float64)
     pv = probe / np.linalg.norm(probe)
     probe_cells = np.argsort(-(C @ pv))[:nprobe].tolist()
     return C, [float(x) for x in probe], [int(c) for c in probe_cells]

@@ -26,6 +26,19 @@ from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
 # =========================================================================
 
 
+def _probe_vector(emb: DataFrame, vec_id: int = 0) -> list:
+    """The ANN demo queries' probe vector (row ``vec_id``), with clear
+    errors for the two degenerate shapes a bare ``first()[0]`` turns
+    into cryptic TypeErrors: no such row, or a NULL embedding."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None or row[0] is None:
+        what = "has a NULL embedding" if row is not None else "is absent"
+        raise ValueError(
+            f"probe row vec_id={vec_id} {what} — the ANN demo queries "
+            f"need a non-NULL probe vector")
+    return [float(x) for x in row[0]]
+
+
 @q("tokenize_docs", """
 WITH words AS (
   SELECT doc_id,
@@ -576,8 +589,7 @@ def lsh_topk_embeddings(spark, sf_dir):
     reproduces every table's bucket assignment from the same plane
     literals and the probe's numpy-computed bucket ids."""
     emb = _t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in
-             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    probe = _probe_vector(emb)
     return SS.lsh_topk(emb, probe, k=10, n_planes=6, n_tables=8)
 
 
@@ -631,8 +643,7 @@ def ivf_topk_embeddings(spark, sf_dir):
     every vector's cell from the centroid literals."""
     emb = _t(spark, sf_dir, "embeddings")
     C = SS.ivf_train(emb, n_cells=16, iters=8)
-    probe = [float(x) for x in
-             emb.filter("vec_id = 0").select("embedding").first()[0]]
+    probe = _probe_vector(emb)
     return SS.ivf_topk(emb, probe, C, k=10, nprobe=6)
 
 

@@ -779,6 +779,16 @@ def test_null_embeddings_in_all_pairs_probe_and_train(spark):
     all_null = df.filter("embedding IS NULL")
     assert cosine_all_pairs(all_null, threshold=0.5).count() == 0
 
+    # the LSH scale twin must agree on the degenerate input: empty pair
+    # set / empty top-k, not a dim-probe ValueError
+    from nrt_spark.dataops.simsearch import lsh_neardup_pairs, lsh_topk
+
+    for collapse in (True, False):
+        assert lsh_neardup_pairs(
+            all_null, collapse_duplicates=collapse).count() == 0
+    for nt in (1, 4):
+        assert lsh_topk(all_null, [1.0, 0.0], k=3, n_tables=nt).count() == 0
+
     # NULL-first table: the dim probe must scan past it (a bare
     # first()[0] is TypeError: len(None))
     nf = spark.createDataFrame(
@@ -790,6 +800,19 @@ def test_null_embeddings_in_all_pairs_probe_and_train(spark):
 
     C = ivf_train(df, n_cells=2, iters=2)
     assert C.shape == (2, 2) and np.isfinite(C).all()
+
+    # NULLs must not count toward the sample quota: a table whose first
+    # `sample` ids are NULL-heavy still trains on non-NULL rows (the
+    # filter runs BEFORE the ordered limit), and too few non-NULL rows
+    # for n_cells is a clear contract error, not a short matrix
+    skew = spark.createDataFrame(
+        [(i, None if i < 50 else [float(i), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    C2 = ivf_train(skew, n_cells=4, iters=2, sample=8)
+    assert C2.shape == (4, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="centroid"):
+        ivf_train(skew.filter("vec_id >= 58"), n_cells=4, iters=2)
 
 
 def test_contamination_duplicate_collapse_equivalence(spark):
