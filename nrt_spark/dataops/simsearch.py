@@ -322,8 +322,15 @@ def lsh_assign(embeddings: DataFrame, n_planes: int = 8, seed: str = "nrt",
     bucket = None
     for p in range(n_planes):
         plane_col = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bit = F.when(_dot(cast_vec, plane_col) >= 0, F.lit(1 << p)) \
-            .otherwise(F.lit(0))
+        dot = _dot(cast_vec, plane_col)
+        # two-sided when, NO otherwise: a NULL dot (NULL or ragged
+        # vector — zip_with pads to NULL) leaves the bit NULL, so the
+        # bucket sum propagates NULL and a bucket-equality probe drops
+        # the row.  An `otherwise(0)` would silently file every NULL
+        # vector in bucket 0, returning phantom NULL-cosine rows to
+        # any probe that hashes there.
+        bit = (F.when(dot >= 0, F.lit(1 << p))
+               .when(dot < 0, F.lit(0)))
         bucket = bit if bucket is None else bucket + bit
     return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
 

@@ -309,6 +309,14 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
             cut = min(cut * 4, K)
             keep = sorted(i for i in ids if hashes[int(i)] < cut)[:sample]
         if not keep:
+            if not ids:
+                # no non-NULL embeddings at all: this is the centroid-
+                # contract failure (same diagnosis/exception as
+                # ivf_train's guard), not a hash-layout problem
+                raise ValueError(
+                    f"ivf_ann_oracle: only 0 non-NULL embeddings "
+                    f"available for n_cells={n_cells} (mirrors "
+                    f"ivf_train's centroid-contract guard)")
             raise RuntimeError(
                 f"ivf_ann_oracle: hash filter left no survivors even at "
                 f"cut={cut} (n={n_total}) — table/id layout inconsistent")

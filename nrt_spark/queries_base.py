@@ -62,6 +62,20 @@ def _null(kind: str):
     return F.lit(None).cast(kind)
 
 
+def _probe_vector(emb: DataFrame, vec_id: int = 0) -> list:
+    """The ANN demo queries' probe vector (row ``vec_id``), with clear
+    errors for the two degenerate shapes a bare ``first()[0]`` turns
+    into cryptic TypeErrors: no such row, or a NULL embedding.  Shared
+    by all three ANN demo queries (cosine/lsh/ivf top-k)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None or row[0] is None:
+        what = "has a NULL embedding" if row is not None else "is absent"
+        raise ValueError(
+            f"probe row vec_id={vec_id} {what} — the ANN demo queries "
+            f"need a non-NULL probe vector")
+    return [float(x) for x in row[0]]
+
+
 def json_int_field(col: str | "F.Column", field: str) -> "F.Column":
     """Extract a TOP-LEVEL integer scalar from a machine-generated flat
     JSON object column — the events.props hot path.

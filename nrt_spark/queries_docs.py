@@ -15,8 +15,8 @@ from nrt_spark.dataops import simsearch as SS  # noqa: F401
 from nrt_spark.dataops import textstats as TS  # noqa: F401
 from nrt_spark.dataops.textstats import LANG_MARKERS  # noqa: F401
 from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
-                                    _cents_col, _null, _t, q, sub,
-                                    REGISTRY, SUB_SQL)
+                                    _cents_col, _null, _probe_vector, _t,
+                                    q, sub, REGISTRY, SUB_SQL)
 
 # =========================================================================
 # Training-data ops: dedup, text stats, similarity search
@@ -336,9 +336,7 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """)
 def cosine_topk_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in
-             emb.filter("vec_id = 0").select("embedding").first()[0]]
-    return SS.cosine_topk(emb, probe, k=10)
+    return SS.cosine_topk(emb, _probe_vector(emb), k=10)
 
 
 @q("embedding_neardup_pairs", """

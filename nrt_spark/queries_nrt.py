@@ -15,8 +15,8 @@ from nrt_spark.dataops import simsearch as SS  # noqa: F401
 from nrt_spark.dataops import textstats as TS  # noqa: F401
 from nrt_spark.dataops.textstats import LANG_MARKERS  # noqa: F401
 from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
-                                    _cents_col, _null, _t, q, sub,
-                                    REGISTRY, SUB_SQL)
+                                    _cents_col, _null, _probe_vector, _t,
+                                    q, sub, REGISTRY, SUB_SQL)
 
 # =========================================================================
 # Engine / datagen entries.  The five monitor reports carry a GENERATED
@@ -24,19 +24,6 @@ from nrt_spark.queries_base import (_CENTS_SQL, _NB, _ND, _NS,  # noqa: F401
 # see _report_oracle_sql); LSH internals, HLL sketches and compression
 # stay rows-only (engine-specific by nature).
 # =========================================================================
-
-
-def _probe_vector(emb: DataFrame, vec_id: int = 0) -> list:
-    """The ANN demo queries' probe vector (row ``vec_id``), with clear
-    errors for the two degenerate shapes a bare ``first()[0]`` turns
-    into cryptic TypeErrors: no such row, or a NULL embedding."""
-    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
-    if row is None or row[0] is None:
-        what = "has a NULL embedding" if row is not None else "is absent"
-        raise ValueError(
-            f"probe row vec_id={vec_id} {what} — the ANN demo queries "
-            f"need a non-NULL probe vector")
-    return [float(x) for x in row[0]]
 
 
 @q("tokenize_docs", """

@@ -756,6 +756,16 @@ def test_null_and_ragged_embeddings_propagate_null(spark):
     assert per_id == {"a", "b"}, (
         "un-bucketable NULL/ragged vectors must emit no candidate rows")
 
+    # the Catalyst single-table assign must NULL-propagate too: an
+    # otherwise(0) bit would file every NULL/ragged vector in bucket 0
+    # and leak phantom rows to any probe hashing there
+    from nrt_spark.dataops.simsearch import lsh_assign
+
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_assign(df, n_planes=2, dim=4).collect()}
+    assert buckets["n"] is None and buckets["r"] is None
+    assert buckets["a"] is not None and buckets["b"] is not None
+
 
 def test_null_embeddings_in_all_pairs_probe_and_train(spark):
     """The remaining NULL-embedding surfaces: cosine_all_pairs must
@@ -810,8 +820,7 @@ def test_null_embeddings_in_all_pairs_probe_and_train(spark):
         "vec_id long, embedding array<double>")
     C2 = ivf_train(skew, n_cells=4, iters=2, sample=8)
     assert C2.shape == (4, 2)
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="centroid"):
+    with pytest.raises(ValueError, match="centroid"):
         ivf_train(skew.filter("vec_id >= 58"), n_cells=4, iters=2)
 
 
