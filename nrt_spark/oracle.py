@@ -308,15 +308,11 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
         while len(keep) < sample and cut < K:
             cut = min(cut * 4, K)
             keep = sorted(i for i in ids if hashes[int(i)] < cut)[:sample]
-        if not keep:
-            if not ids:
-                # no non-NULL embeddings at all: this is the centroid-
-                # contract failure (same diagnosis/exception as
-                # ivf_train's guard), not a hash-layout problem
-                raise ValueError(
-                    f"ivf_ann_oracle: only 0 non-NULL embeddings "
-                    f"available for n_cells={n_cells} (mirrors "
-                    f"ivf_train's centroid-contract guard)")
+        if not keep and ids:
+            # the hash-layout error only applies when there WERE
+            # non-NULL candidates to filter; an all-NULL table flows
+            # through the (legal) empty keep_df join to the shared
+            # centroid-contract guard below
             raise RuntimeError(
                 f"ivf_ann_oracle: hash filter left no survivors even at "
                 f"cut={cut} (n={n_total}) — table/id layout inconsistent")
@@ -355,7 +351,7 @@ def ivf_ann_oracle(sf_dir: str, n_cells: int = 16, iters: int = 8,
     prow = duckdb.sql(
         f"SELECT embedding FROM {src} WHERE vec_id = 0").fetchone()
     if prow is None or prow[0] is None:
-        # mirror queries_nrt._probe_vector's clear error (a bare
+        # mirror queries_base._probe_vector's clear error (a bare
         # subscript turns both shapes into cryptic TypeErrors)
         what = "has a NULL embedding" if prow is not None else "is absent"
         raise ValueError(

@@ -534,17 +534,31 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 8,
     import duckdb
 
     def bucket_expr(vcol, planes):
+        # two-sided CASE, no ELSE: a NULL dot (NULL vector) leaves the
+        # bit — hence the bucket sum — NULL, and the bucket-equality
+        # candidate filter drops the row.  This mirrors the Spark
+        # side's NULL propagation (lsh_assign / buckets_udf); an
+        # `ELSE 0` would file NULL vectors in bucket 0 and emit
+        # phantom NULL-cosine candidates the engine never produces.
         bits = []
         for p in range(n_planes):
             lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
-            bits.append(f"(CASE WHEN list_dot_product({vcol}, "
-                        f"{lit}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)")
+            dot = f"list_dot_product({vcol}, {lit}::DOUBLE[])"
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} "
+                        f"WHEN {dot} < 0 THEN 0 END)")
         return "(" + "\n      + ".join(bits) + ")"
 
     sf_dir = os.environ.get("NRT_TEST_SF_DIR", "/root/testdata/sf0.01")
-    probe = duckdb.sql(
+    prow = duckdb.sql(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"WHERE vec_id = 0").fetchone()[0]
+        f"WHERE vec_id = 0").fetchone()
+    if prow is None or prow[0] is None:
+        # mirror queries_base._probe_vector's clear error
+        what = "has a NULL embedding" if prow is not None else "is absent"
+        raise ValueError(
+            f"_lsh_topk_sql: probe row vec_id=0 {what} — the ANN oracle "
+            f"needs a non-NULL probe vector")
+    probe = prow[0]
     pbs = SS.lsh_probe_buckets([float(x) for x in probe], n_planes,
                                n_tables, seed)
     any_table = "\n   OR ".join(
