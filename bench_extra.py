@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Round-8 optimization measurement harness (bench.py stays frozen).
+
+Modes:
+  --queries q1,q2   time only those headline queries (default: all)
+  --reps N          repetitions per query inside one warm session
+  --sf-dir DIR      data dir (default $SPARK_GRAFT_SF_DIR or sf1.0)
+  --plans DIR       also dump .explain("formatted") per query into DIR
+  --noop            drain with a noop sink instead of count() (guide §1.4)
+  --pipeline        time the rollup pipeline instead of queries
+
+Timing methodology matches bench.py (count() drain, warm session,
+same session config) so numbers are comparable with BENCH_r07.json;
+--noop exists for isolating computation from the count-prune effect.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "pricing_summary", "top_revenue_orders", "region_revenue",
+    "events_rollup_day", "events_gapfill_day", "events_ewma",
+    "events_cusum", "asof_join_clicks",
+    "dedup_jaccard_pairs", "minhash_lsh_pairs", "simhash_fingerprints",
+    "cosine_topk_embeddings",
+    "dedup_clusters", "sessionize_events", "decontaminate_docs",
+    "pack_token_sequences",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--plans", default=None)
+    ap.add_argument("--noop", action="store_true")
+    ap.add_argument("--pipeline", action="store_true")
+    args = ap.parse_args()
+
+    from nrt_spark.session import get_spark
+    from nrt_spark import queries as Q
+
+    spark = get_spark(cores=args.cores, app_name="bench_extra",
+                      shuffle_partitions=max(8, 2 * args.cores))
+    if args.pipeline:
+        import bench as B
+        out = []
+        for _ in range(args.reps):
+            out.append(B.run_pipeline(spark))
+        print(json.dumps(out, indent=1))
+        spark.stop()
+        return
+
+    registry = Q.queries()
+    names = args.queries.split(",") if args.queries else HEADLINE
+    # same warmup as bench.py
+    registry["pricing_summary"](spark, args.sf_dir).count()
+    results: dict[str, list[float]] = {}
+    for name in names:
+        fn = registry.get(name) or getattr(Q, name)
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            df = fn(spark, args.sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            with open(os.path.join(args.plans, f"{name}.txt"), "w") as fh:
+                fh.write(plan)
+        results[name] = []
+        for r in range(args.reps):
+            spark.sparkContext.setJobDescription(f"{name}#{r}")
+            # construction INSIDE the timed region, exactly like bench.py
+            # (_drain(fn(...)) — queries with eager construction work
+            # pay it in their wall)
+            t0 = time.time()
+            df = fn(spark, args.sf_dir)
+            if args.noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            results[name].append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+        print(json.dumps({name: results[name]}), flush=True)
+    total_min = sum(min(v) for v in results.values())
+    total_med = sum(sorted(v)[len(v) // 2] for v in results.values())
+    print(json.dumps({"total_min": round(total_min, 3),
+                      "total_median": round(total_med, 3),
+                      "sf_dir": args.sf_dir, "cores": args.cores}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -212,8 +212,15 @@ def expand_per_doc(docs: DataFrame, groups: DataFrame,
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
                   materialize: bool = False,
                   broadcast_hot: bool = True,
-                  spread: bool = True) -> DataFrame:
+                  spread: bool = True,
+                  pre_normalized: bool = False) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
+
+    ``pre_normalized`` skips the normalize regex when ``text`` is
+    already the canonical form (the collapsed miners' representative
+    relations come out of ``_dup_groups``, whose group key IS the
+    normalized text — re-normalizing is an idempotent full regex pass
+    over the corpus).
 
     ``spread`` (default) repartitions the docs BY doc_id BEFORE the
     shingle explode: compressed text packs ~100x, so a bytes-sized
@@ -257,19 +264,25 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     """
     if spread:
         docs = spread_for_explode(docs)
-    words = docs.select(
-        "doc_id", F.split(normalized_text(), " ").alias("w"))
+    txt = F.col("text") if pre_normalized else normalized_text()
+    words = docs.select("doc_id", F.split(txt, " ").alias("w"))
     # guard: sequence(0, -1) DESCENDS in Spark, so docs shorter than n
     # words must produce an empty shingle array (exploded away), matching
-    # SQL engines whose range(negative) is empty
+    # SQL engines whose range(negative) is empty.
+    # array_distinct BEFORE the explode (round-8): per-doc shingle
+    # duplicates all live inside one row's array, so deduping there is
+    # map-side and FREE, where the old post-explode ``.distinct()``
+    # shuffled the full exploded relation (sf1: a 54 MB exchange + a
+    # second full-width stage) to remove the same rows.  The output
+    # row set — distinct (doc_id, shingle) — is identical.
     sh = words.select(
         "doc_id",
         F.explode(F.expr(
             f"CASE WHEN size(w) >= {n} THEN "
-            f"transform(sequence(0, size(w) - {n}), "
-            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+            f"array_distinct(transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
             f"ELSE array() END")).alias("shingle")
-    ).distinct()
+    )
     if materialize:
         sh = sh.localCheckpoint()
     if max_df is not None:
@@ -279,6 +292,53 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
             hot = F.broadcast(hot)
         sh = sh.join(hot, "shingle", "left_anti")
     return sh
+
+
+def capped_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
+                    broadcast_hot: bool = True, spread: bool = True,
+                    pre_normalized: bool = False,
+                    checkpoint: bool = True) -> DataFrame:
+    """df-capped distinct shingles for the pair miners: the SURVIVING
+    (doc_id, shingle) relation, optionally ``localCheckpoint``ed
+    (non-eager) so multi-pass consumers (sizes, both self-join sides,
+    the active-doc gate) scan one materialized copy.
+
+    Round-8 restructure of the miners' shingle prologue: the old path
+    materialized the PRE-cap relation (an eager checkpoint of the full
+    exploded stream — 320 MB in memory at sf1) and every downstream
+    consumer re-scanned it through the anti-join filter (5 full scans
+    measured).  Since the explode is now map-only (per-doc
+    array_distinct, no distinct shuffle — see :func:`word_shingles`),
+    recomputing it once for the hot-list count and once for the capped
+    materialization is cheaper than storing and re-reading the pre-cap
+    stream, and the stored relation shrinks to the post-cap survivors —
+    strictly smaller, by construction, at every scale."""
+    sh = word_shingles(docs, n=n, max_df=None, materialize=False,
+                       spread=spread, pre_normalized=pre_normalized)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        sh = sh.join(hot, "shingle", "left_anti")
+    if not checkpoint:
+        return sh
+    # right-size the stored relation before checkpointing: the map-side
+    # cap filter keeps the explode's (wide, pinned-count) partitioning,
+    # so an aggressive cap leaves N mostly-empty partitions that every
+    # downstream consumer pays task-launch overhead for (sf1: 4
+    # consumers x 64 near-empty tasks ~ 2.6 s).  A bare repartition(key)
+    # is AQE-coalescable — the exchange is sized by the ACTUAL post-cap
+    # bytes, so a survivor-heavy corpus keeps its width and a
+    # cap-decimated one collapses to a handful of partitions.
+    # EAGER: the miners consume this (and the _dup_groups relation
+    # buried inside it) from several broadcast-exchange subtrees that
+    # execute on separate threads; with a lazy checkpoint those threads
+    # RACE to materialize the same lineage and each recomputes the full
+    # normalize+explode chain (observed as multi-x wall outliers).  The
+    # eager job materializes groups+capped once, serially, and every
+    # consumer — broadcast threads included — reads stored blocks.
+    return sh.repartition("doc_id").localCheckpoint()
 
 
 def _dup_groups(docs: DataFrame,
@@ -311,7 +371,15 @@ def _dup_groups(docs: DataFrame,
     sum of member ids, what clustering aggregates — so consumers of
     :func:`minhash_lsh_rep_graph` see one schema either way; only
     ``members`` is shape-dependent.
+
+    Adaptive spread (round-8): the normalize regex + the partial text
+    aggregate run in the SCAN stage, and a compressed text table packs
+    ~100x, so a whole corpus can land in 1-2 byte-sized splits and the
+    per-row regex chain runs nearly serial (sf1: 2 tasks, 2.7 s of the
+    miners' wall).  Structural no-op on a well-split cluster scan —
+    see spread_if_underpartitioned.
     """
+    docs = spread_if_underpartitioned(docs)
     if not members:
         return (docs.groupBy(normalized_text().alias("_t"))
                 .agg(F.min("doc_id").alias("rep"),
@@ -414,17 +482,21 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     On a duplicate-free corpus the output is identical to the
     uncollapsed miner's (df over distinct == df over raw).
     """
-    # materialize the PRE-cap shingles once: the hot-list count, the
-    # size agg and both sides of the pair join all scan one
-    # checkpointed relation + a broadcast map-side cap filter (round-2
-    # regression: the explode+distinct subtree was computed twice) —
-    # and with max_df=None the three consumers still share it
+    # materialize the CAPPED shingles once (round-8, see
+    # capped_shingles): the size agg, both sides of the pair join and
+    # the active-doc gate all scan one checkpointed post-cap relation;
+    # the map-only explode runs once more for the hot-list count.
+    # ``spread=True`` on the representative relation: AQE coalesces the
+    # small text-group exchange it comes out of (~10 MB at sf1 -> 9
+    # read tasks), which would bottleneck the ~30x shingle explode —
+    # the pinned-count repartition (spread_for_explode) keeps the
+    # explode at full width.
     if collapse_duplicates:
         groups = _dup_groups(docs)
         reps = groups.select(F.col("rep").alias("doc_id"),
                              F.col("_t").alias("text"))
-        sh = word_shingles(reps, n=n, max_df=max_df, materialize=True,
-                           spread=False)
+        sh = capped_shingles(reps, n=n, max_df=max_df,
+                             pre_normalized=True)
         rep_pairs = _jaccard_from_shingles(sh, threshold)
         active = sh.select(F.col("doc_id").alias("rep")).distinct()
         intra = _intra_group_pairs(
@@ -433,7 +505,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                 F.lit(1.0) >= F.lit(threshold))
         return _expand_rep_pairs(rep_pairs, groups, "jaccard") \
             .unionAll(intra)
-    sh = word_shingles(docs, n=n, max_df=max_df, materialize=True)
+    sh = capped_shingles(docs, n=n, max_df=max_df)
     return _jaccard_from_shingles(sh, threshold)
 
 
@@ -467,17 +539,18 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 8,
                        max_df: int | None = None,
-                       spread: bool = True) -> DataFrame:
+                       spread: bool = True,
+                       pre_normalized: bool = False) -> DataFrame:
     """MinHash signature per doc: minhash_i = min(md5(i || shingle)).
 
     Salted md5 gives ``num_hashes`` independent hash families that any
     engine reproduces exactly.  Output: (doc_id, sig array<string>).
     """
-    # materialize the pre-cap shingles when capped: the hot-list count
-    # and the capped output would otherwise each recompute the
-    # explode+distinct (uncapped, the single consumer needs no copy)
-    sh = word_shingles(docs, n=n, max_df=max_df,
-                       materialize=max_df is not None, spread=spread)
+    # single downstream consumer (the per-doc signature aggregate), so
+    # the capped relation is not checkpointed — the map-only explode
+    # runs once for the hot-list count and once into the aggregate
+    sh = capped_shingles(docs, n=n, max_df=max_df, spread=spread,
+                         pre_normalized=pre_normalized, checkpoint=False)
     aggs = [F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle"))))
             .alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -546,11 +619,18 @@ def minhash_lsh_rep_graph(docs: DataFrame, n: int = 3,
         groups = _dup_groups(docs, members=False)
     reps = groups.select(F.col("rep").alias("doc_id"),
                          F.col("_t").alias("text"))
-    # non-eager checkpoint: sig feeds the band self-join AND the
-    # active-rep gate (same call-scoped pattern as _dup_groups)
+    # EAGER checkpoint: sig feeds the band self-join AND the active-rep
+    # gate, and the pair miners additionally read ``groups`` (buried in
+    # sig's lineage) from broadcast-exchange threads — a lazy checkpoint
+    # lets those threads race to materialize the same lineage and
+    # recompute the full normalize+explode chain each (see
+    # capped_shingles).  spread=True: the reps relation exits a small
+    # AQE-coalesced text exchange; the pinned-count repartition keeps
+    # the shingle explode at full width (see jaccard_pairs).
     sig = minhash_signatures(reps, n=n, num_hashes=num_hashes,
-                             spread=False, max_df=max_df) \
-        .localCheckpoint(eager=False)
+                             spread=True, max_df=max_df,
+                             pre_normalized=True) \
+        .localCheckpoint()
     rep_pairs = _band_pairs(sig, num_hashes, band_size)
     active = sig.select(F.col("doc_id").alias("rep"))
     return groups, rep_pairs, active
@@ -613,10 +693,11 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
         groups = _dup_groups(train, members=False)
         reps = groups.select(F.col("rep").alias("doc_id"),
                              F.col("_t").alias("text"))
-        # reps came out of a group-by: already shuffle-partitioned and
-        # tiny (one row per distinct text) — spread=False per the
-        # word_shingles contract
-        flagged = (word_shingles(reps, n=n, spread=False)
+        # spread=True (round-8): reps exit a small AQE-coalesced text
+        # exchange, so without the pinned-count repartition the shingle
+        # explode runs at the coalesced width (see jaccard_pairs)
+        flagged = (word_shingles(reps, n=n, spread=True,
+                                 pre_normalized=True)
                    .join(ev_sh, "shingle", "left_semi")
                    .select(F.col("doc_id").alias("rep")).distinct())
         bad_t = groups.join(flagged, "rep", "left_semi").select("_t")
@@ -630,6 +711,53 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
     tr_sh = word_shingles(train, n=n)
     return (tr_sh.join(ev_sh, "shingle", "left_semi")
             .select("doc_id").distinct())
+
+
+#: symmetrized-edge count at or below which connected_components runs
+#: exact union-find on the collected edge list instead of the
+#: iterative distributed propagation (<= ~3 MB of long pairs on the
+#: driver vs O(log d) multi-stage Spark jobs whose per-round latency
+#: dominates small graphs; the round-8 profile measured ~2 s of pure
+#: job overhead for a 3.4k-edge rep graph).  The distributed path
+#: remains the scale path and is forced whenever telemetry is
+#: requested.
+CC_DRIVER_MAX_EDGES = 200_000
+
+
+def _cc_union_find(sym: DataFrame) -> DataFrame:
+    """Exact min-label components of a SMALL symmetrized edge relation
+    via driver-side union-find — identical output to the propagation
+    loop (component = min node id reachable) by construction.  Bounded
+    by CC_DRIVER_MAX_EDGES rows of two ids; callers gate on the count.
+    """
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min root wins so the final label IS the min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    node_t = sym.schema[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    return sym.sparkSession.createDataFrame(
+        out, StructType([StructField("node", node_t, False),
+                         StructField("component", node_t, False)]))
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -648,6 +776,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     iterations.  Raises if the budget is exhausted before convergence
     (silent partial components would corrupt a dedup decision).
 
+    Small graphs (round-8): when the symmetrized edge list is at most
+    CC_DRIVER_MAX_EDGES rows, the components come from driver-side
+    union-find over the collected edges (bit-identical labels, pinned
+    by tests/test_dataops.py::test_cc_driver_matches_distributed) —
+    the distributed loop's per-round job latency is pure overhead
+    there.  The count that gates this also materializes the ``sym``
+    checkpoint the distributed path starts from, so the probe is never
+    wasted work.  With ``telemetry`` the distributed path is forced
+    (its per-round changed counts ARE the requested evidence).
+
     ``telemetry``, if given, is filled in place with
     ``{"nodes", "edges", "rounds", "changed_per_round"}`` — the
     per-round changed-label counts are the O(log diameter) convergence
@@ -660,9 +798,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
                                F.col(src).alias("b")))
-           .distinct().localCheckpoint())
+           .distinct().localCheckpoint(eager=False))
+    if telemetry is None:
+        if sym.count() <= CC_DRIVER_MAX_EDGES:
+            return _cc_union_find(sym)
     labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("component", F.col("node")).localCheckpoint())
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=False))
     if telemetry is not None:
         telemetry.update(nodes=labels.count(), edges=sym.count() // 2,
                          rounds=0, changed_per_round=[])
@@ -685,20 +827,24 @@ def connected_components(edges: DataFrame, src: str = "src",
         # every round instead of shrinking by one hop
         parent = stepped.select(F.col("node").alias("pnode"),
                                 F.col("component").alias("parent"))
+        # ONE job per round (round-8): the non-eager checkpoint
+        # materializes under the changed-count action — the old shape
+        # paid an eager-checkpoint job PLUS a count job every round.
+        # The count is deliberately full (no limit(1)): a partial scan
+        # could leave checkpoint partitions unmaterialized and the next
+        # round would recompute them.
         new = (stepped.join(parent, stepped.component == parent.pnode,
                             "left")
                .select("node", "old_component",
                        F.least("component",
                                F.coalesce("parent", "component"))
                        .alias("component"))
-               .localCheckpoint())
-        changed_df = new.filter(F.col("component") < F.col("old_component"))
+               .localCheckpoint(eager=False))
+        changed = new.filter(
+            F.col("component") < F.col("old_component")).count()
         if telemetry is not None:
-            changed = changed_df.count()
             telemetry["rounds"] += 1
             telemetry["changed_per_round"].append(changed)
-        else:
-            changed = changed_df.limit(1).count()
         labels = new.select("node", "component")
         if changed == 0:
             return labels

@@ -303,17 +303,47 @@ def test_connected_components(spark):
         chain + [(110, 111), (111, 112), (112, 110),   # triangle
                  (120, 121)],                          # pair
         "src long, dst long")
-    got = {r["node"]: r["component"]
-           for r in connected_components(edges, max_iter=6).collect()}
     want = {i: 1 for i in range(1, 41)}
     want.update({110: 110, 111: 110, 112: 110, 120: 120, 121: 120})
+    # default path (small graph -> driver union-find)
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, max_iter=6).collect()}
     assert got == want
+    # distributed propagation path (forced via telemetry)
+    tel: dict = {}
+    got_d = {r["node"]: r["component"]
+             for r in connected_components(edges, max_iter=6,
+                                           telemetry=tel).collect()}
+    assert got_d == want
+    assert tel["rounds"] >= 1
 
     # non-convergence is loud, not silent: 1 round cannot close a chain
+    # (telemetry forces the iterative path; the union-find fast path
+    # has no round budget)
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            spark.createDataFrame(chain, "src long, dst long"), max_iter=1)
+            spark.createDataFrame(chain, "src long, dst long"), max_iter=1,
+            telemetry={})
+
+
+def test_cc_driver_matches_distributed(spark):
+    """The round-8 small-graph fast path (driver union-find below
+    CC_DRIVER_MAX_EDGES) must produce BIT-IDENTICAL labels to the
+    distributed min-label propagation on an irregular random graph."""
+    import random
+
+    from nrt_spark.dataops.dedup import connected_components
+
+    rng = random.Random(8)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(df, telemetry={}).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_pack_sequences_invariants(spark):
