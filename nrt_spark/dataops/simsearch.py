@@ -96,20 +96,47 @@ def _stack_batch(vecs: "pd.Series", dim: int
     return X, valid
 
 
+#: row-estimate ceiling for cosine_topk's pure-Catalyst HOF branch.
+#: The two branches are bit-identical (the Arrow kernel folds in
+#: dimension order precisely to mirror the HOF chain — _seqfold_dots),
+#: so the gate only picks the cheaper physical plan: below ~10^5 rows
+#: the Python-worker spin-up + Arrow round-trip dominates the batch
+#: kernel (round-7 verdict: 0.37 s HOF -> 1.5 s UDF at bench scale),
+#: while above it the interpreted per-element lambda fold loses by an
+#: order of magnitude (sf100 probe: 25x DuckDB's wall at 2M vectors).
+#: Unknown sizes (filtered/derived inputs) take the scale-safe UDF.
+COSINE_TOPK_HOF_MAX_ROWS = 100_000
+
+
 def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``probe`` (ties broken by id).
 
-    The cosine is ONE vectorized Arrow batch UDF over the sequential-
-    fold kernels — bit-exact with the previous pure-Catalyst HOF chain
-    and the SQL oracles (see _seqfold_dots), but ~an order of magnitude
-    faster: the sf100 probe measured the interpreted per-row lambda
-    fold at 25x DuckDB's wall on 2M vectors.  No join, no shuffle
-    except the final top-k (``orderBy ... limit`` = TakeOrdered, which
-    holds only k rows per partition); rounding stays in Catalyst
-    (F.round is HALF_UP — numpy's round is banker's).
+    Two physical strategies behind one result (gated on the parquet
+    footer row estimate, COSINE_TOPK_HOF_MAX_ROWS): small tables run
+    the pure-Catalyst HOF fold (no Python boundary at all); large
+    tables run ONE vectorized Arrow batch UDF over the sequential-fold
+    kernels — bit-exact with the HOF chain and the SQL oracles (see
+    _seqfold_dots): both accumulate in dimension order, both propagate
+    NULL for NULL/ragged vectors, rounding stays in Catalyst either
+    way (F.round is HALF_UP — numpy's round is banker's).  No join, no
+    shuffle except the final top-k (``orderBy ... limit`` =
+    TakeOrdered, which holds only k rows per partition).
     """
+    est = _source_row_estimate(embeddings)
+    if est is not None and est[0] <= COSINE_TOPK_HOF_MAX_ROWS:
+        p_lit = F.array(*[F.lit(float(x)) for x in probe])
+        # cast to double BEFORE the fold: the oracles fold over
+        # ::DOUBLE[] (and the Arrow kernel stacks float64), while a
+        # fold over the raw array<float> column multiplies in float
+        # first — a 1-ulp drift that can cross a round(,6) boundary
+        cos = cosine_similarity(F.col(vec_col).cast("array<double>"),
+                                p_lit)
+        return (embeddings
+                .select(id_col, F.round(cos, 6).alias("cosine"))
+                .orderBy(F.desc("cosine"), F.col(id_col).asc())
+                .limit(k))
     p = np.asarray(probe, dtype=np.float64)
     pnorm = float(np.sqrt(_seqfold_sqnorms(p[None, :]))[0])
 

@@ -264,6 +264,25 @@ def test_ivf_topk_recall(spark):
     np.testing.assert_array_equal(C, ivf_train(emb, n_cells=16, iters=8))
 
 
+def test_cosine_topk_hof_and_udf_branches_identical(spark, monkeypatch):
+    """The round-8 row-estimate gate in cosine_topk picks a physical
+    strategy only: the pure-Catalyst HOF fold (small file-backed
+    tables) and the Arrow seqfold UDF must return BIT-IDENTICAL rows,
+    including the tie order."""
+    from nrt_spark.dataops import simsearch as SS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    hof = SS.cosine_topk(emb, probe, k=15).collect()
+    # file-backed small table -> the HOF branch must actually be taken
+    assert "ArrowEvalPython" not in \
+        SS.cosine_topk(emb, probe, k=15)._jdf.queryExecution() \
+        .executedPlan().toString()
+    monkeypatch.setattr(SS, "COSINE_TOPK_HOF_MAX_ROWS", 0)
+    udf = SS.cosine_topk(emb, probe, k=15).collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in udf]
+
+
 def test_lsh_neardup_recall_vs_brute(spark):
     """LSH-bucketed pair mining (the scale path, no cross join) must be a
     subset of the brute-force threshold join with high recall; expected
