@@ -461,9 +461,16 @@ def sessionize_events(spark, sf_dir):
         "session_id",
         F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
     sess_n = F.count("*").over(W.partitionBy("user_id", "session_id"))
+    # n_sessions = max(session_id), NOT countDistinct (round-8): the
+    # running sum starts at 1 on every user's first row and increments
+    # by 0/1, so session ids are exactly 1..K and max == distinct
+    # count.  countDistinct alongside the other aggregates planned an
+    # Expand (3x the rows through the aggregation) plus a second
+    # exchange; max folds into the same hash aggregate and reuses the
+    # window's user_id partitioning.
     return (s.withColumn("sess_n", sess_n)
             .groupBy("user_id")
-            .agg(F.countDistinct("session_id").alias("n_sessions"),
+            .agg(F.max("session_id").alias("n_sessions"),
                  F.max("sess_n").alias("max_session_events"),
                  F.count("*").alias("n_events")))
 
