@@ -628,9 +628,12 @@ def repetition_stats(spark, sf_dir):
         base_in = (D.spread_if_underpartitioned(docs)
                    .select("source", F.lit(1).cast("long").alias("m"),
                            F.split(D.normalized_text(), " ").alias("w")))
+    # direct subscripts, not concat_ws(slice(...)): slice() allocates a
+    # fresh array per gram — measured 7x slower over the corpus-scale
+    # gram stream (see dedup.word_shingles); identical strings
     grams = F.expr(
         "transform(sequence(0, size(w) - 3), "
-        "i -> concat_ws(' ', slice(w, i + 1, 3)))")
+        "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))")
     base = (base_in.filter(F.size("w") >= 3)
             .select("source", "m",
                     (F.size("w") - 2).alias("total"),
