@@ -761,9 +761,17 @@ def _cc_union_find(sym: DataFrame) -> DataFrame:
     node_t = sym.schema[0].dataType
     from pyspark.sql.types import StructField, StructType
 
-    return sym.sparkSession.createDataFrame(
-        out, StructType([StructField("node", node_t, False),
-                         StructField("component", node_t, False)]))
+    schema = StructType([StructField("node", node_t, False),
+                         StructField("component", node_t, False)])
+    # pandas input takes the Arrow fast path: the list path builds a
+    # pickled ParallelCollectionRDD whose conversion runs PYTHON
+    # WORKERS executor-side (measured 1.1 s cold — it was the first
+    # Python stage of the whole bench session), while Arrow batches
+    # convert driver-side and ship straight to the JVM
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=["node", "component"])
+    return sym.sparkSession.createDataFrame(pdf, schema)
 
 
 def connected_components(edges: DataFrame, src: str = "src",
