@@ -106,11 +106,26 @@ FROM gaps GROUP BY user_id
 """)
 def events_interarrival(spark, sf_dir):
     """Inter-arrival statistics via lag() — the W7 ordered-ingest
-    diagnostic (revisit-cadence monitoring)."""
+    diagnostic (revisit-cadence monitoring).
+
+    The gap mirrors DuckDB's ``epoch(interval)`` float evaluation
+    EXACTLY: a timestamp difference is a (days, micros) interval and
+    epoch computes ``days*86400.0 + micros/1e6`` — two float steps.
+    For sub-day gaps (days = 0) this is bit-identical to the single
+    ``total_micros/1e6`` division; for multi-day gaps the two differ
+    by 1 ulp, which crossed a round(,2) boundary on the round-8 sf1
+    dry pass (user 2841: 136989.295 exact; two-part double
+    ...94999999998 -> .29, single-division double .295 -> .30).
+    Inherited divergence, present in the round-start code on the same
+    data — fixed by folding in DuckDB's evaluation order."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gaps = ev.withColumn("gap_s", (us - F.lag(us).over(w)) / 1e6)
+    gap_us = us - F.lag(us).over(w)
+    day_us = 86_400_000_000
+    gap_s = (F.floor(gap_us / day_us).cast("double") * 86400.0
+             + F.pmod(gap_us, F.lit(day_us)) / 1e6)
+    gaps = ev.withColumn("gap_s", gap_s)
     return (gaps.groupBy("user_id")
             .agg(F.count("gap_s").alias("n_gaps"),
                  F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
