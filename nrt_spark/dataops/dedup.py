@@ -227,10 +227,12 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     scan split can hold the whole corpus in a couple of tasks and the
     explode — the expensive part — runs nearly serial (the simhash16
     docstring has the measured sf10 numbers).  The exchanged bytes are
-    the raw pre-explode docs, a small fraction of the exploded stream
-    the downstream distinct shuffles anyway.  Pass ``False`` when the
-    input is already shuffle-partitioned (e.g. the collapsed miners'
-    representative tables, which come out of a group-by).
+    the raw pre-explode docs, a small fraction of the exploded stream.
+    Pass ``False`` only when the input is already WIDE-partitioned;
+    note a group-by output is NOT enough — AQE coalesces a small text
+    exchange down to a handful of read tasks, which then bottlenecks
+    the ~30x explode fused onto them (round-8 finding: the collapsed
+    miners' representative relations need the spread).
 
     ``max_df`` drops shingles appearing in more than that many docs
     (stop-phrase control — essential before any self-join at scale).
@@ -241,26 +243,16 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     is large enough that |rows|/max_df could exceed broadcast limits
     (~10^8 entries) — the cap then falls back to a shuffled anti-join.
 
-    ``materialize`` eagerly ``localCheckpoint``s the pre-cap relation so
-    multi-pass consumers (the hot-list count, a size aggregate, both
-    sides of a pair self-join) scan ONE materialized copy instead of
-    re-running the explode+distinct per consumer.  The storage is
-    call-scoped: the blocks belong to the checkpointed plan and Spark's
+    ``materialize`` eagerly ``localCheckpoint``s the pre-cap exploded
+    relation for callers that scan it several times.  Since round 8
+    the pair miners no longer use it — the explode is map-only (no
+    distinct shuffle), so they materialize the far smaller POST-cap
+    relation instead (:func:`capped_shingles`) and recompute the
+    explode once for the hot-list count.  The storage is call-scoped:
+    the blocks belong to the checkpointed plan and Spark's
     ContextCleaner reclaims them once the caller's result goes out of
-    scope — no module-level cache to evict another pipeline's relation
-    mid-query (the round-3 design did exactly that), and concurrent
-    jobs in one session each keep their own copy.
-
-    Two deliberate trade-offs of the eager localCheckpoint (vs
-    ``persist``): (1) plan CONSTRUCTION triggers the materializing
-    Spark job immediately — callers composing lazily (e.g. building a
-    corpus funnel without running it) pay the shingle scan at
-    composition time; pass ``materialize=False`` there and persist at
-    the call site if needed.  (2) checkpointed blocks are
-    NON-RECOMPUTABLE: an executor/block loss fails the query instead of
-    recomputing the lineage as persist would — acceptable here because
-    the relation is consumed within one job and a retry restarts that
-    job, but not a building block for long-lived cached state.
+    scope, and an eager checkpoint runs its Spark job at plan
+    CONSTRUCTION time (lazily composing callers should pass False).
     """
     if spread:
         docs = spread_for_explode(docs)
