@@ -123,8 +123,12 @@ def events_interarrival(spark, sf_dir):
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_us = us - F.lag(us).over(w)
     day_us = 86_400_000_000
-    gap_s = (F.floor(gap_us / day_us).cast("double") * 86400.0
-             + F.pmod(gap_us, F.lit(day_us)) / 1e6)
+    # exact integer day count (pmod/long arithmetic, no float floor):
+    # the numerator is an exact multiple of day_us, so the division is
+    # exact in double for any gap below 2^53 us
+    sub_day = F.pmod(gap_us, F.lit(day_us))
+    gap_s = (((gap_us - sub_day) / F.lit(day_us)) * 86400.0
+             + sub_day / 1e6)
     gaps = ev.withColumn("gap_s", gap_s)
     return (gaps.groupBy("user_id")
             .agg(F.count("gap_s").alias("n_gaps"),
