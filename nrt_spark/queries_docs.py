@@ -464,10 +464,12 @@ def sessionize_events(spark, sf_dir):
     # n_sessions = max(session_id), NOT countDistinct (round-8): the
     # running sum starts at 1 on every user's first row and increments
     # by 0/1, so session ids are exactly 1..K and max == distinct
-    # count.  countDistinct alongside the other aggregates planned an
-    # Expand (3x the rows through the aggregation) plus a second
-    # exchange; max folds into the same hash aggregate and reuses the
-    # window's user_id partitioning.
+    # count.  countDistinct alongside the other aggregates planned the
+    # two-phase distinct rewrite — four HashAggregate passes (keyed on
+    # (user_id, session_id) then user_id) over the window output; max
+    # folds into one partial+final pair on the window's user_id
+    # partitioning (plans/r08/sessionize_events_{before,after}.txt:
+    # 4 HashAggregate -> 2, same single Exchange).
     return (s.withColumn("sess_n", sess_n)
             .groupBy("user_id")
             .agg(F.max("session_id").alias("n_sessions"),
