@@ -145,7 +145,13 @@ def duplicate_ratio_estimate(docs: DataFrame, sample_rows: int = 50_000,
         if key is not None and key in _GATE_CACHE:
             return _GATE_CACHE[key]
     frac = 0.02 if est is None else min(1.0, sample_rows / max(est[0], 1))
-    row = (docs.sample(False, frac, seed=seed)
+    # spread the SAMPLE (not the corpus) before the md5 probe: the
+    # sample is a narrow op, so on a 1-2-split compressed scan the
+    # probe's normalize+md5 ran serial in one task (0.50 s at sf1 where
+    # the fraction is 1.0).  Only the ~sample_rows sampled rows cross
+    # the exchange, and on a well-split cluster scan the guard is a
+    # structural no-op.
+    row = (spread_if_underpartitioned(docs.sample(False, frac, seed=seed))
            .agg(F.approx_count_distinct(
                     F.md5(normalized_text())).alias("d"),
                 F.count("*").alias("n"))
@@ -203,7 +209,13 @@ def expand_per_doc(docs: DataFrame, groups: DataFrame,
     per_text = (groups.select("rep", "_t")
                 .join(vals.withColumnRenamed("doc_id", "rep"), "rep")
                 .select("_t", *metric_cols))
-    docs_t = docs.select("doc_id", normalized_text().alias("_t"))
+    # spread before the expansion-side normalize (round-8): the join
+    # key _t is computed MAP-SIDE (before the join's exchange), so on a
+    # 1-2-split compressed scan the full-corpus regex ran serial
+    # (measured 0.91 s of simhash's wall in one task at sf1);
+    # structural no-op on a well-split cluster scan.
+    docs_t = spread_if_underpartitioned(docs) \
+        .select("doc_id", normalized_text().alias("_t"))
     return (docs_t
             .join(per_text, docs_t["_t"].eqNullSafe(per_text["_t"]))
             .select("doc_id", *metric_cols))
@@ -702,8 +714,11 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
         # plain (NOT null-safe) semi-join is correct here, unlike
         # expand_per_doc: a NULL-text doc yields no shingles on the
         # uncollapsed branch either, so "never flagged" is the matching
-        # semantic on both paths
-        return (train.select("doc_id", normalized_text().alias("_t"))
+        # semantic on both paths.  Spread guard: the semi-join key is
+        # computed map-side, so the full-corpus normalize would run
+        # serial on a 1-2-split compressed scan (see expand_per_doc).
+        return (spread_if_underpartitioned(train)
+                .select("doc_id", normalized_text().alias("_t"))
                 .join(bad_t, "_t", "left_semi")
                 .select("doc_id"))
     tr_sh = word_shingles(train, n=n)

@@ -21,6 +21,12 @@ REF_DATA = Path("/root/reference/tests/unit_tests/data")
 # BEFORE any test module renders + caches the lazy oracle SQL.
 os.environ.setdefault("NRT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Skip the session factory's one-time runtime bootstrap (Python daemon
+# + codegen warm-up jobs) in unit tests: the suite creates several
+# fresh sessions and the warm-up would add seconds to each for paths
+# the tests exercise anyway.  test_session_warmup opts back in.
+os.environ.setdefault("NRT_SESSION_WARMUP", "0")
+
 requires_reference = pytest.mark.skipif(
     not REF_DATA.exists(), reason="reference golden CSVs not available")
 
