@@ -737,13 +737,14 @@ def contamination_flags(train: DataFrame, eval_docs: DataFrame,
 CC_DRIVER_MAX_EDGES = 200_000
 
 
-def _cc_union_find(sym: DataFrame) -> DataFrame:
+def _cc_union_find(sym: DataFrame, rows: list) -> DataFrame:
     """Exact min-label components of a SMALL symmetrized edge relation
     via driver-side union-find — identical output to the propagation
-    loop (component = min node id reachable) by construction.  Bounded
-    by CC_DRIVER_MAX_EDGES rows of two ids; callers gate on the count.
+    loop (component = min node id reachable) by construction.  ``rows``
+    is the already-collected edge list (the caller's bounded
+    ``limit(...)`` probe), at most CC_DRIVER_MAX_EDGES rows of two ids;
+    ``sym`` supplies only schema and session.
     """
-    rows = sym.collect()
     parent: dict = {}
 
     def find(x):
@@ -821,8 +822,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                                F.col(src).alias("b")))
            .distinct().localCheckpoint(eager=False))
     if telemetry is None:
-        if sym.count() <= CC_DRIVER_MAX_EDGES:
-            return _cc_union_find(sym)
+        # ONE bounded probe job instead of count-then-collect (round-8):
+        # limit(N+1) returns the ENTIRE edge list when it has at most N
+        # rows — exactly the small-graph case — so the gate decision and
+        # the union-find input come from the same partial-scan job, and
+        # the collected list stays bounded at N+1 rows of two ids either
+        # way.  An over-threshold graph costs one cheap partial scan
+        # before the distributed loop (whose first action materializes
+        # the remaining checkpoint partitions as before).
+        probe = sym.limit(CC_DRIVER_MAX_EDGES + 1).collect()
+        if len(probe) <= CC_DRIVER_MAX_EDGES:
+            return _cc_union_find(sym, probe)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=False))

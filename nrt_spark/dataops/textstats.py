@@ -121,6 +121,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprint: first 16 hex chars of md5 of the normalized
     text (order-invariant contract with any engine's md5).
     Output: (doc_id, fp, n_chars)."""
+    # narrow per-row normalize+md5: same under-split-scan guard as the
+    # sibling operators (structural no-op on well-split scans)
+    docs = spread_if_underpartitioned(docs)
     return docs.select(
         "doc_id",
         F.substring(F.md5(normalized_text()), 1, 16).alias("fp"),

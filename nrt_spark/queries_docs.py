@@ -294,7 +294,10 @@ def token_counts_by_source(spark, sf_dir, collapse="auto"):
     if collapse == "auto":
         collapse = D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO
     if collapse:
-        g = (docs.groupBy(D.normalized_text().alias("text"), "source")
+        # spread guard: the group key (normalized text) is computed
+        # map-side on the scan (see dedup._dup_groups)
+        g = (D.spread_if_underpartitioned(docs)
+             .groupBy(D.normalized_text().alias("text"), "source")
              .agg(F.count("*").alias("m")))
         tc = TS.token_counts(g, cols=("source", "m"))
         return (tc.groupBy("source")
@@ -525,7 +528,10 @@ def top_terms_by_source(spark, sf_dir):
     total tiebreak — the corpus-analysis primitive behind domain mixing
     decisions.  Partial-aggregated count + per-source top-k window."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
+    # spread-before-explode (see dedup.spread_for_explode): a 1-2-split
+    # compressed scan would otherwise run the normalize+word-explode —
+    # the expensive part — nearly serial
+    words = D.spread_for_explode(docs).select(
         "source", F.explode(F.split(D.normalized_text(), " ")).alias("w")
     ).filter(F.length("w") >= 5)
     cnt = words.groupBy("source", "w").agg(F.count("*").alias("n"))
@@ -621,7 +627,10 @@ def repetition_stats(spark, sf_dir):
     are exact integers)."""
     docs = _t(spark, sf_dir, "documents")
     if D.duplicate_ratio_estimate(docs) < D.COLLAPSE_RATIO:
-        base_in = (docs.groupBy(D.normalized_text().alias("_nt"), "source")
+        # spread guard: the group key (normalized text) is computed
+        # map-side on the scan (see dedup._dup_groups)
+        base_in = (D.spread_if_underpartitioned(docs)
+                   .groupBy(D.normalized_text().alias("_nt"), "source")
                    .agg(F.count("*").alias("m"))
                    .select("source", "m", F.split("_nt", " ").alias("w")))
     else:

@@ -75,6 +75,23 @@ def _warm_runtime(spark: SparkSession) -> None:
           "array_distinct(transform(split(text, ' '), x -> concat(x, '|')))"
       )).alias("g"))
      .groupBy("d").agg(F.count("*"), F.min("g")).count())
+    # numeric/temporal expression JIT: the cents arithmetic
+    # (round/cast/multiply), date_trunc bucketing, max_by, pow and the
+    # lag/running-sum window shapes the rollup family uses
+    v = spark.range(2000, numPartitions=4).select(
+        "id", (F.col("id") % 97 / 7.0).alias("v"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"))
+    (v.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+     .agg(F.count("*"),
+          F.sum(F.round(F.col("v") * 100).cast("long")),
+          F.round(F.min("v"), 4), F.max_by("v", "id"),
+          F.sum(F.col("v") * F.pow(F.lit(0.7), F.col("id") % 10)))
+     .count())
+    wl = W.partitionBy(F.col("id") % 7).orderBy("ts")
+    (v.select("id", F.lag("ts").over(wl).alias("p"),
+              F.sum("v").over(
+                  wl.rowsBetween(W.unboundedPreceding, 0)).alias("c"))
+     .where(F.col("p").isNotNull()).count())
     # composed-plan warm-up: localCheckpoint machinery + a broadcast
     # join + union/distinct under AQE, so the first real composed query
     # does not pay the optimizer/runtime classes' first-use cost
