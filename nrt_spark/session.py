@@ -169,5 +169,15 @@ def get_spark(cores: int | str = "*", app_name: str = "nrt_spark",
         app_id = spark.sparkContext.applicationId
         if app_id not in _WARMED:
             _WARMED.add(app_id)
-            _warm_runtime(spark)
+            try:
+                _warm_runtime(spark)
+            except Exception:
+                # the bootstrap is an optimization, not a requirement:
+                # a session configured in a way the ritual's jobs cannot
+                # run under must still be handed to the caller
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "session runtime bootstrap failed; continuing with "
+                    "a cold session", exc_info=True)
     return spark
