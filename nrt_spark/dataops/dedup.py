@@ -221,12 +221,36 @@ def expand_per_doc(docs: DataFrame, groups: DataFrame,
             .select("doc_id", *metric_cols))
 
 
+def _df_cap(sh: DataFrame, max_df: int | None,
+            broadcast_hot: bool) -> DataFrame:
+    """The shared hot-shingle df cap: drop shingles appearing in more
+    than ``max_df`` rows of ``sh`` via a heavy-hitter-bounded hot list
+    (broadcast when ``broadcast_hot``, shuffled anti-join otherwise).
+    One implementation so word_shingles and capped_shingles can never
+    diverge on cap semantics."""
+    if max_df is None:
+        return sh
+    hot = (sh.groupBy("shingle").count()
+           .filter(F.col("count") > max_df).select("shingle"))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
                   materialize: bool = False,
                   broadcast_hot: bool = True,
                   spread: bool = True,
                   pre_normalized: bool = False) -> DataFrame:
     """Distinct n-word shingles per doc: (doc_id, shingle).
+
+    Input contract: one row per ``doc_id`` (every in-repo producer — a
+    corpus table, or the representative relation of ``_dup_groups`` —
+    satisfies it).  Since round 8 the per-doc dedup is a map-side
+    ``array_distinct`` INSIDE each row's shingle array; a corpus that
+    repeats a doc_id across rows would emit the repeated rows' shingles
+    repeatedly where the old post-explode ``.distinct()`` collapsed
+    them.
 
     ``pre_normalized`` skips the normalize regex when ``text`` is
     already the canonical form (the collapsed miners' representative
@@ -295,13 +319,7 @@ def word_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     )
     if materialize:
         sh = sh.localCheckpoint()
-    if max_df is not None:
-        hot = (sh.groupBy("shingle").count()
-               .filter(F.col("count") > max_df).select("shingle"))
-        if broadcast_hot:
-            hot = F.broadcast(hot)
-        sh = sh.join(hot, "shingle", "left_anti")
-    return sh
+    return _df_cap(sh, max_df, broadcast_hot)
 
 
 def capped_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
@@ -325,12 +343,7 @@ def capped_shingles(docs: DataFrame, n: int = 3, max_df: int | None = None,
     strictly smaller, by construction, at every scale."""
     sh = word_shingles(docs, n=n, max_df=None, materialize=False,
                        spread=spread, pre_normalized=pre_normalized)
-    if max_df is not None:
-        hot = (sh.groupBy("shingle").count()
-               .filter(F.col("count") > max_df).select("shingle"))
-        if broadcast_hot:
-            hot = F.broadcast(hot)
-        sh = sh.join(hot, "shingle", "left_anti")
+    sh = _df_cap(sh, max_df, broadcast_hot)
     if not checkpoint:
         return sh
     # right-size the stored relation before checkpointing: the map-side
@@ -798,21 +811,24 @@ def connected_components(edges: DataFrame, src: str = "src",
     iterations.  Raises if the budget is exhausted before convergence
     (silent partial components would corrupt a dedup decision).
 
-    Small graphs (round-8): when the symmetrized edge list is at most
-    CC_DRIVER_MAX_EDGES rows, the components come from driver-side
-    union-find over the collected edges (bit-identical labels, pinned
-    by tests/test_dataops.py::test_cc_driver_matches_distributed) —
-    the distributed loop's per-round job latency is pure overhead
-    there.  The count that gates this also materializes the ``sym``
-    checkpoint the distributed path starts from, so the probe is never
-    wasted work.  With ``telemetry`` the distributed path is forced
-    (its per-round changed counts ARE the requested evidence).
+    Small graphs (round-8): a single bounded
+    ``limit(CC_DRIVER_MAX_EDGES + 1).collect()`` probe both gates and
+    feeds a driver-side union-find over the collected edges
+    (bit-identical labels, pinned by
+    tests/test_dataops.py::test_cc_driver_matches_distributed) — the
+    distributed loop's per-round job latency is pure overhead there.
+    Edge lists with NULL endpoints skip the fast path (the distributed
+    loop has always tolerated them).  With ``telemetry`` the
+    distributed path is forced (its per-round changed counts ARE the
+    requested evidence).
 
     ``telemetry``, if given, is filled in place with
     ``{"nodes", "edges", "rounds", "changed_per_round"}`` — the
     per-round changed-label counts are the O(log diameter) convergence
-    evidence a scale run records (a full count per round instead of the
-    default limit(1) existence probe, so it is opt-in).
+    evidence a scale run records.  Both paths run one full
+    changed-count action per round (a partial scan could leave
+    checkpoint partitions unmaterialized); telemetry only records the
+    counts, it does not change their cost.
 
     Returns:
         (node, component) — component = min node id reachable.
@@ -831,8 +847,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         # before the distributed loop (whose first action materializes
         # the remaining checkpoint partitions as before).
         probe = sym.limit(CC_DRIVER_MAX_EDGES + 1).collect()
-        if len(probe) <= CC_DRIVER_MAX_EDGES:
+        if len(probe) <= CC_DRIVER_MAX_EDGES and \
+                all(a is not None and b is not None for a, b in probe):
             return _cc_union_find(sym, probe)
+        # NULL endpoints (e.g. pairs built through an outer join) fall
+        # through to the distributed loop, which has always tolerated
+        # them — Python's `<` would raise on None in the union-find
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=False))

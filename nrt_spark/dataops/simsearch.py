@@ -131,8 +131,16 @@ def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
         # ::DOUBLE[] (and the Arrow kernel stacks float64), while a
         # fold over the raw array<float> column multiplies in float
         # first — a 1-ulp drift that can cross a round(,6) boundary
-        cos = cosine_similarity(F.col(vec_col).cast("array<double>"),
-                                p_lit)
+        v = F.col(vec_col).cast("array<double>")
+        # degenerate-vector alignment with the batch-kernel branch
+        # (both branches MUST rank identically, the gate picks by row
+        # estimate alone): a zero-norm vector is NULL via try_divide —
+        # a plain `/` RAISES under Spark 4's default ANSI mode where
+        # the kernel branch returns NULL — and a NaN cosine
+        # (NaN-containing vector) becomes NULL exactly like NaN does
+        # crossing Arrow from_pandas in the UDF branch.
+        raw = F.try_divide(_dot(v, p_lit), _norm(v) * _norm(p_lit))
+        cos = F.when(~F.isnan(raw), raw)
         return (embeddings
                 .select(id_col, F.round(cos, 6).alias("cosine"))
                 .orderBy(F.desc("cosine"), F.col(id_col).asc())

@@ -283,6 +283,42 @@ def test_cosine_topk_hof_and_udf_branches_identical(spark, monkeypatch):
     assert [tuple(r) for r in hof] == [tuple(r) for r in udf]
 
 
+def test_cosine_topk_branches_identical_on_degenerate_vectors(
+        spark, tmp_path, monkeypatch):
+    """The gate must be invisible on DEGENERATE rows too: a zero-norm
+    vector (0/0 — raises under ANSI without try_divide), a
+    NaN-containing vector (NaN sorts FIRST desc, NULL sorts LAST — a
+    silent top-k flip if the branches disagree), a NULL vector and a
+    ragged vector must all come out NULL cosine on BOTH branches."""
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+    from nrt_spark.dataops import simsearch as SS
+
+    dim = 4
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),            # zero norm
+        (3, [float("nan"), 1.0, 1.0, 1.0]),   # NaN component
+        (4, None),                            # NULL vector
+        (5, [1.0, 2.0]),                      # ragged
+        (6, [4.0, 3.0, 2.0, 1.0]),
+    ]
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(FloatType()))])
+    path = str(tmp_path / "deg_emb")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    emb = spark.read.parquet(path)
+    probe = [1.0, 2.0, 3.0, 4.0]
+    hof = SS.cosine_topk(emb, probe, k=6).collect()
+    monkeypatch.setattr(SS, "COSINE_TOPK_HOF_MAX_ROWS", 0)
+    udf = SS.cosine_topk(emb, probe, k=6).collect()
+    assert [tuple(r) for r in hof] == [tuple(r) for r in udf]
+    # the degenerate rows rank LAST (NULL cosine) on both branches
+    assert [r["vec_id"] for r in hof][:2] == [1, 6]
+    assert all(r["cosine"] is None for r in hof[2:])
+
+
 def test_lsh_neardup_recall_vs_brute(spark):
     """LSH-bucketed pair mining (the scale path, no cross join) must be a
     subset of the brute-force threshold join with high recall; expected
@@ -363,6 +399,24 @@ def test_cc_driver_matches_distributed(spark):
     dist = {(r["node"], r["component"])
             for r in connected_components(df, telemetry={}).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_cc_null_endpoints_skip_fast_path(spark):
+    """An edge list with NULL endpoints (e.g. pairs built through an
+    outer join) must not crash the driver union-find (Python `<` raises
+    on None): the probe routes such graphs to the distributed loop,
+    whose output on the non-NULL subgraph matches the NULL-free run."""
+    from nrt_spark.dataops.dedup import connected_components
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(None, 5), (6, None)], "src long, dst long"))
+    want = {(r["node"], r["component"])
+            for r in connected_components(clean).collect()}
+    got = {(r["node"], r["component"])
+           for r in connected_components(dirty).collect()}
+    assert want <= got            # non-NULL subgraph labels unchanged
 
 
 def test_pack_sequences_invariants(spark):
