@@ -140,7 +140,12 @@ def cosine_topk(embeddings: DataFrame, probe: list[float], k: int = 10,
         # (NaN-containing vector) becomes NULL exactly like NaN does
         # crossing Arrow from_pandas in the UDF branch.
         raw = F.try_divide(_dot(v, p_lit), _norm(v) * _norm(p_lit))
-        cos = F.when(~F.isnan(raw), raw)
+        # nanvl, not when(~isnan(raw), raw): the HOF fold is interpreted
+        # (no codegen subexpression elimination), so a guard that
+        # references `raw` twice evaluates the whole fold twice —
+        # measured ~2x the query wall.  nanvl evaluates it once and
+        # yields NULL for NaN (second operand NULL), NULL for NULL.
+        cos = F.nanvl(raw, F.lit(None).cast("double"))
         return (embeddings
                 .select(id_col, F.round(cos, 6).alias("cosine"))
                 .orderBy(F.desc("cosine"), F.col(id_col).asc())
